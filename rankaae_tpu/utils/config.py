@@ -1,0 +1,187 @@
+"""Configuration layer.
+
+Two views of the same YAML config:
+
+* :class:`Parameters` — an immutable attribute namespace over a dict, API
+  compatible with the reference (``sc/utils/parameter.py:42-93``): ``get``,
+  ``update``, ``to_dict``, ``from_yaml``, attribute access, and a TypeError
+  on direct attribute assignment.  The YAML files shipped with the reference
+  (``example/fix_config.yaml``) load unmodified.
+
+* :class:`TrainConfig` — a validated frozen dataclass consumed by the
+  trainer.  Unlike the reference (which splats raw YAML keys into Trainer
+  attributes, ``sc/clustering/trainer.py:60``), unknown keys are rejected
+  loudly and defaults are explicit.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import yaml
+
+
+class Parameters:
+    """Immutable attribute namespace over a parameter dict.
+
+    Mirrors the reference public interface exactly
+    (``sc/utils/parameter.py:42-93``): attributes are read-only, ``update``
+    is the only mutator, ``get`` falls back to a default.
+    """
+
+    def __init__(self, parameter_dict: Dict[str, Any]):
+        super().__setattr__("_parameter_dict", dict(parameter_dict))
+        self.update({})
+
+    def __setattr__(self, name: str, value: Any):
+        raise TypeError("Parameters object cannot be modified after instantiation")
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return self._parameter_dict.get(key, default)
+
+    def update(self, parameter_dict: Dict[str, Any]) -> None:
+        self._parameter_dict.update(parameter_dict)
+        # Map keys into the attribute namespace (reference parameter.py:75).
+        self.__dict__.update(self._parameter_dict)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return self._parameter_dict
+
+    @classmethod
+    def from_yaml(cls, config_file_path: str) -> "Parameters":
+        with open(config_file_path) as f:
+            cfg = yaml.full_load(f)
+        return cls(cfg)
+
+
+# Keys understood by the training stack.  Union of the reference's shipped
+# configs (SURVEY.md §2.7; ``sc/cmd/fix_config.yaml``, ``example/fix_config.yaml``,
+# ``sc/tests/data/fix_config.yaml``) plus report-only keys.
+_REPORT_ONLY_KEYS = {"output_name", "top_n", "gpu", "n_sampling", "plot_residual", "plot_job"}
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Validated, static training configuration.
+
+    Every field is a compile-time constant of the XLA training program:
+    changing any of them retraces.  Field names match the reference YAML
+    schema key-for-key so shipped configs run unmodified.
+    """
+
+    # system
+    data_file: str = ""
+    trials: int = 1
+    timeout: float = 10.0           # hours; per-trial deadline
+    verbose: bool = True
+    max_epoch: int = 300
+    batch_size: int = 512
+
+    # adversarial
+    gradient_reversal: bool = True
+    alpha_flat_step: float = 800.0
+    alpha_limit: float = 0.7
+    decoder_activation: str = "ReLu"
+    dis_beta: float = 1.0
+    dis_dropout_rate: float = 0.2
+    dis_noise: float = 0.1
+    gen_beta: float = 1.0
+
+    # network structure
+    n_aux: int = 5
+    nstyle: int = 6
+    ae_form: str = "FC"
+    dim_in: int = 256
+    dim_out: int = 256
+    n_layers: int = 3
+    FC_discriminator_layers: int = 3
+    use_cnn_discriminator: bool = False
+
+    # training
+    dropout_rate: float = 0.2
+    sch_factor: float = 0.25
+    sch_patience: int = 300
+    lr_base: float = 1e-4
+    lr_ratio_Corr: float = 2.0
+    lr_ratio_Mutual: float = 3.0
+    lr_ratio_Reconn: float = 3.0
+    lr_ratio_Smooth: float = 0.1
+    lr_ratio_dis: float = 0.5
+    lr_ratio_gen: float = 0.5
+    optimizer_name: str = "AdamW"
+    spec_noise: float = 0.01
+    use_flex_spec_target: bool = False
+    weight_decay: float = 1e-2
+    kendall_activation: bool = False
+    # default 500 mirrors the reference fallback (``trainer.py:59``)
+    epoch_stop_smooth: int = 500
+
+    # split ratios (reference hardcodes these in Trainer.from_data signature,
+    # ``trainer.py:415``)
+    train_ratio: float = 0.7
+    validation_ratio: float = 0.15
+    test_ratio: float = 0.15
+
+    @classmethod
+    def field_names(cls) -> Tuple[str, ...]:
+        return tuple(f.name for f in dataclasses.fields(cls))
+
+    @classmethod
+    def from_parameters(cls, p: Parameters, strict: bool = True) -> "TrainConfig":
+        """Build from a :class:`Parameters`; rejects unknown keys when strict."""
+        known = set(cls.field_names())
+        d = {}
+        for k, v in p.to_dict().items():
+            if k in known:
+                d[k] = v
+            elif k in _REPORT_ONLY_KEYS:
+                continue
+            elif strict:
+                raise KeyError(
+                    f"Unknown config key {k!r}; known keys: {sorted(known | _REPORT_ONLY_KEYS)}"
+                )
+        cfg = cls(**d)
+        cfg.validate()
+        return cfg
+
+    @classmethod
+    def from_yaml(cls, path: str, strict: bool = True) -> "TrainConfig":
+        return cls.from_parameters(Parameters.from_yaml(path), strict=strict)
+
+    def validate(self) -> None:
+        from rankaae_tpu.models.registry import AE_FORMS
+
+        if self.ae_form not in AE_FORMS:
+            raise ValueError(f"ae_form {self.ae_form!r} not in {sorted(AE_FORMS)}")
+        if self.decoder_activation not in ("ReLu", "Softplus"):
+            raise ValueError(
+                f"Unknown activation {self.decoder_activation!r}; use 'ReLu' or 'Softplus'"
+            )
+        if self.optimizer_name not in ("Adam", "AdamW", "AdaBound", "RAdam"):
+            raise ValueError(f"Unknown optimizer {self.optimizer_name!r}")
+        if self.nstyle < self.n_aux:
+            raise ValueError(
+                f"nstyle ({self.nstyle}) must be >= n_aux ({self.n_aux}): "
+                "each descriptor is rank-tied to one style dimension"
+            )
+        if not (self.batch_size > 1):
+            raise ValueError("batch_size must be > 1 (pairwise Kendall loss)")
+
+    def replace(self, **kw) -> "TrainConfig":
+        cfg = dataclasses.replace(self, **kw)
+        cfg.validate()
+        return cfg
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def load_report_config(p: Parameters) -> Dict[str, Any]:
+    """Report-stage keys with reference defaults (``generate_report.py:229-251``)."""
+    return {
+        "output_name": p.get("output_name", "report"),
+        "top_n": p.get("top_n", 5),
+        "n_sampling": p.get("n_sampling", 1000),
+        "plot_residual": p.get("plot_residual", False),
+        "plot_job": p.get("plot_job", None),
+    }

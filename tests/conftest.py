@@ -1,0 +1,35 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh — the "fake multi-chip" harness the
+reference never had (SURVEY.md §4): multi-trial sharding is validated without
+TPU hardware.  Must be set before jax is imported anywhere.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize force-prepends the axon TPU platform to
+# JAX_PLATFORMS, so the env var alone cannot select CPU; the config API can.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def synthetic_csv(tmp_path_factory):
+    """A small schema-exact synthetic dataset shared across the session."""
+    from rankaae_tpu.data.synthetic import make_synthetic_xanes_csv
+
+    path = tmp_path_factory.mktemp("data") / "synthetic_xanes.csv"
+    make_synthetic_xanes_csv(str(path), n_rows=800, dim=256, seed=7)
+    return str(path)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)
