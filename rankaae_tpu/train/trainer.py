@@ -1,0 +1,529 @@
+"""The training core: the reference's 6-loss / 7-optimizer alternating loop
+(``sc/clustering/trainer.py:65-315``) as one XLA program.
+
+TPU-first structure
+-------------------
+* A whole training run is ``lax.scan`` over epochs of ``lax.scan`` over
+  batches — zero host round-trips after launch.  The reference syncs to host
+  every batch (loss ``.item()``) and every epoch (scipy Shapiro/Spearman,
+  ``trainer.py:286-295``); here the per-epoch quality metrics are computed on
+  device (``rankaae_tpu.ops.stats``).
+* The dataset lives on device; a batch is a gather with a per-epoch permuted
+  index matrix (padded by wrapping — static shapes).
+* ReduceLROnPlateau is carried scan state (``rankaae_tpu.optim.plateau``),
+  and best-model selection is a traced argmin over the combined metric.
+* Everything is a pytree of arrays -> ``vmap`` over a stacked trial axis
+  replaces the reference's ipyparallel process pool (see
+  ``rankaae_tpu.parallel.trials``).
+
+Faithfulness notes (SURVEY.md §7 hard parts)
+--------------------------------------------
+* The per-batch protocol re-encodes from scratch before every loss and steps
+  a dedicated optimizer per loss, in the reference order: adversarial (GRL)
+  -> kendall -> reconstruction -> mutual-info -> smoothness
+  (``trainer.py:103-204``).  Parameter subsets per optimizer match
+  ``trainer.py:333-397`` exactly.
+* Train-mode forwards that exist in the reference purely as side effects
+  (the dead ``spec_out`` at ``trainer.py:114``, the unused re-encode at
+  ``:176``) are replicated as stats-only forwards so BatchNorm running-stat
+  trajectories match.
+* The reference's best-checkpoint gate initializes ``best=10.0`` and saves
+  when ``combined > best`` (``trainer.py:76,297-301``) — since lower
+  combined is better and typical values are ~-0.5, that gate never fires
+  and ``best.pt`` is effectively never produced.  We replicate the gate
+  (``faithful_best_*``) AND additionally track the true best
+  (min-combined) model, which the checkpoint layer saves as ``best``.
+* Validation reconstruction uses plain MSE even when training uses the flex
+  target (``trainer.py:223-228`` passes no ``scale``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rankaae_tpu.models.registry import build_autoencoder, build_discriminator
+from rankaae_tpu.ops.kendall import kendall_constraint
+from rankaae_tpu.ops.losses import (
+    alpha_schedule,
+    bce_with_logits,
+    mse,
+    nll_loss,
+    recon_loss,
+    smoothness_loss,
+)
+from rankaae_tpu.ops.stats import max_interstyle_spearman, min_style_shapiro
+from rankaae_tpu.optim.optimizers import Optimizer, make_optimizer
+from rankaae_tpu.optim.plateau import PlateauState, plateau_init, plateau_update
+from rankaae_tpu.utils.config import TrainConfig
+
+# reference trainer.py:35-36
+METRIC_WEIGHTS = jnp.array([1.0, -1.0, -0.01, -1.0, -1.0], jnp.float32)
+GAU_KERNEL_SIZE = 17
+
+# optimizer name -> (param subset keys, lr ratio attr, uses custom betas, wd)
+# (reference trainer.py:333-397)
+OPT_SPECS = {
+    "reconstruction": (("enc", "dec"), "lr_ratio_Reconn", None, True),
+    "mutual_info": (("enc", "dec"), "lr_ratio_Mutual", None, False),
+    "smoothness": (("dec",), "lr_ratio_Smooth", None, True),
+    "correlation": (("enc",), "lr_ratio_Corr", None, True),
+    "discriminator": (("dis",), "lr_ratio_dis", "dis_beta", False),
+    "generator": (("enc",), "lr_ratio_gen", "gen_beta", False),
+    "adversarial": (("dis", "enc"), "lr_ratio_dis", "dis_beta", False),
+}
+
+
+class TrialData(NamedTuple):
+    """Device-resident dataset for one training run (shared across trials)."""
+
+    train_spec: jnp.ndarray   # (N_train, dim_in)
+    train_aux: jnp.ndarray    # (N_train, n_aux)
+    val_spec: jnp.ndarray     # (N_val, dim_in)
+    val_aux: jnp.ndarray      # (N_val, n_aux)
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]          # {'enc','dec','dis'} param pytrees
+    batch_stats: Dict[str, Any]     # same keys; {} where module has no BN
+    opt: Dict[str, Any]             # 7 optimizer MomentStates over subsets
+    sched: Dict[str, PlateauState]  # 7 plateau states
+    rng: jnp.ndarray
+    # true-best tracking (min combined metric)
+    best_combined: jnp.ndarray
+    best_epoch: jnp.ndarray
+    best_params: Dict[str, Any]
+    best_batch_stats: Dict[str, Any]
+    # faithful-quirk gate (reference trainer.py:76,297-301; never fires)
+    faithful_best: jnp.ndarray
+
+
+class RankAAETrainer:
+    """Compiled trainer for one config.  All config fields are static; the
+    returned ``run`` function is jittable and vmappable over trials."""
+
+    def __init__(self, cfg: TrainConfig, n_train: int, n_val: int):
+        cfg.validate()
+        self.cfg = cfg
+        self.n_train = n_train
+        self.n_val = n_val
+        self.n_batch = -(-n_train // cfg.batch_size)
+        self.encoder, self.decoder = build_autoencoder(cfg)
+        self.discriminator = build_discriminator(cfg)
+        self.opts: Dict[str, Optimizer] = {}
+        for name, (_, ratio_attr, beta_attr, use_wd) in OPT_SPECS.items():
+            betas = (0.9, 0.999)
+            if beta_attr is not None:
+                b = getattr(cfg, beta_attr)
+                betas = (0.9 * b, 0.009 * b + 0.99)  # reference trainer.py:369,377,386
+            wd = cfg.weight_decay if use_wd else 0.0
+            kw = {}
+            if cfg.optimizer_name == "AdaBound":
+                kw["base_lr"] = getattr(cfg, ratio_attr) * cfg.lr_base
+            self.opts[name] = make_optimizer(
+                cfg.optimizer_name, betas=betas, weight_decay=wd, **kw
+            )
+
+    # ------------------------------------------------------------------ #
+    # forwards
+    # ------------------------------------------------------------------ #
+
+    def _fwd(self, module, params, stats, x, *args, train: bool, rngs=None):
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        if train:
+            out, mut = module.apply(
+                variables, x, *args, train=True, rngs=rngs, mutable=["batch_stats"]
+            )
+            return out, mut.get("batch_stats", stats)
+        return module.apply(variables, x, *args, train=False), stats
+
+    def init_state(self, rng) -> TrainState:
+        cfg = self.cfg
+        k_enc, k_dec, k_dis, k_run = jax.random.split(rng, 4)
+        rngs = lambda k: {"params": k, "dropout": jax.random.fold_in(k, 1),
+                          "noise": jax.random.fold_in(k, 2)}
+        spec0 = jnp.zeros((2, cfg.dim_in), jnp.float32)
+        z0 = jnp.zeros((2, cfg.nstyle), jnp.float32)
+        ev = self.encoder.init(rngs(k_enc), spec0, train=True)
+        dv = self.decoder.init(rngs(k_dec), z0, train=True)
+        xv = self.discriminator.init(rngs(k_dis), z0, jnp.float32(0.0), train=True)
+        params = {"enc": ev["params"], "dec": dv["params"], "dis": xv["params"]}
+        batch_stats = {
+            "enc": ev.get("batch_stats", {}),
+            "dec": dv.get("batch_stats", {}),
+            "dis": xv.get("batch_stats", {}),
+        }
+        opt = {}
+        sched = {}
+        for name, (subset, ratio_attr, _, _) in OPT_SPECS.items():
+            sub = {k: params[k] for k in subset}
+            opt[name] = self.opts[name].init(sub)
+            sched[name] = plateau_init(getattr(cfg, ratio_attr) * cfg.lr_base)
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt=opt,
+            sched=sched,
+            rng=k_run,
+            best_combined=jnp.asarray(jnp.inf, jnp.float32),
+            best_epoch=jnp.asarray(-1, jnp.int32),
+            best_params=jax.tree_util.tree_map(jnp.copy, params),
+            best_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
+            faithful_best=jnp.asarray(10.0, jnp.float32),
+        )
+
+    # ------------------------------------------------------------------ #
+    # one optimizer step over a loss
+    # ------------------------------------------------------------------ #
+
+    def _opt_step(self, name, loss_fn, params, opt_state, lr):
+        """value_and_grad over the optimizer's parameter subset, then update.
+
+        ``loss_fn(sub_params) -> (loss, new_stats)`` must rebuild full params
+        from the subset internally.
+        """
+        subset = OPT_SPECS[name][0]
+        sub = {k: params[k] for k in subset}
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(sub)
+        new_sub, new_opt = self.opts[name].update(grads, opt_state, sub, lr)
+        new_params = {**params, **new_sub}
+        return loss, new_params, new_stats, new_opt
+
+    # ------------------------------------------------------------------ #
+    # per-batch training protocol (reference trainer.py:103-204)
+    # ------------------------------------------------------------------ #
+
+    def _train_batch(self, state: TrainState, spec, aux, alpha, epoch, rng):
+        cfg = self.cfg
+        keys = jax.random.split(rng, 16)
+        params, stats, opt, sched = state.params, state.batch_stats, state.opt, state.sched
+
+        # input noise (trainer.py:112)
+        spec_in = spec + jax.random.normal(keys[0], spec.shape) * cfg.spec_noise
+
+        def enc_fwd(p, s, x, k):
+            return self._fwd(self.encoder, p, s["enc"], x, train=True,
+                             rngs={"dropout": k})
+
+        def dec_fwd(p, s, z, k):
+            return self._fwd(self.decoder, p, s["dec"], z, train=True,
+                             rngs={"dropout": k})
+
+        def dis_fwd(p, dstats, x, beta, k):
+            return self._fwd(self.discriminator, p, dstats, x, beta, train=True,
+                             rngs={"dropout": k, "noise": jax.random.fold_in(k, 7)})
+
+        # ---- adversarial / GAN block ---------------------------------- #
+        if cfg.gradient_reversal:
+            z_real = jax.random.normal(keys[1], (cfg.batch_size, cfg.nstyle))
+
+            def adv_loss(sub):
+                styles, enc_stats = enc_fwd(sub["enc"], stats, spec_in, keys[2])
+                real_pred, ds1 = dis_fwd(sub["dis"], stats["dis"], z_real, alpha, keys[3])
+                fake_pred, ds2 = dis_fwd(sub["dis"], ds1, styles, alpha, keys[4])
+                real_pred, fake_pred = real_pred.squeeze(-1), fake_pred.squeeze(-1)
+                loss = bce_with_logits(real_pred, jnp.ones_like(real_pred)) + \
+                    bce_with_logits(fake_pred, jnp.zeros_like(fake_pred))
+                return loss, {**stats, "enc": enc_stats, "dis": ds2}
+
+            dis_loss, params, stats, opt_adv = self._opt_step(
+                "adversarial", adv_loss, params, opt["adversarial"],
+                sched["adversarial"].lr,
+            )
+            opt = {**opt, "adversarial": opt_adv}
+            gen_loss = jnp.float32(0.0)
+
+            # dead decode at trainer.py:114 — stats-only forward for BN parity
+            styles_tmp, _ = enc_fwd(params["enc"], stats, spec_in, keys[2])
+            _, dec_stats = dec_fwd(params["dec"], stats, styles_tmp, keys[5])
+            stats = {**stats, "dec": dec_stats}
+        else:
+            # D step then G step (trainer.py:128-150).  The reference's label
+            # dtypes/losses only type-check for the CNN (2-class log-softmax)
+            # discriminator; we implement that protocol and, for the FC
+            # 1-logit discriminator, the BCE equivalent (documented deviation:
+            # the reference generator step labels fakes 0, which optimizes the
+            # wrong direction and is dead code upstream — we label 1).
+            z_real = jax.random.normal(keys[1], (cfg.batch_size, cfg.nstyle))
+
+            def d_loss(sub):
+                styles, enc_stats = enc_fwd(params["enc"], stats, spec_in, keys[2])
+                styles = jax.lax.stop_gradient(styles)
+                real_pred, ds1 = dis_fwd(sub["dis"], stats["dis"], z_real, None, keys[3])
+                fake_pred, ds2 = dis_fwd(sub["dis"], ds1, styles, None, keys[4])
+                if cfg.use_cnn_discriminator:
+                    loss = nll_loss(real_pred, jnp.ones(real_pred.shape[0], jnp.int32)) + \
+                        nll_loss(fake_pred, jnp.zeros(fake_pred.shape[0], jnp.int32))
+                else:
+                    rp, fp = real_pred.squeeze(-1), fake_pred.squeeze(-1)
+                    loss = bce_with_logits(rp, jnp.ones_like(rp)) + \
+                        bce_with_logits(fp, jnp.zeros_like(fp))
+                return loss, {**stats, "enc": enc_stats, "dis": ds2}
+
+            dis_loss, params, stats, opt_d = self._opt_step(
+                "discriminator", d_loss, params, opt["discriminator"],
+                sched["discriminator"].lr,
+            )
+            opt = {**opt, "discriminator": opt_d}
+
+            def g_loss(sub):
+                styles, enc_stats = enc_fwd(sub["enc"], stats, spec_in, keys[6])
+                pred, dis_stats = dis_fwd(params["dis"], stats["dis"], styles, None, keys[7])
+                if cfg.use_cnn_discriminator:
+                    loss = nll_loss(pred, jnp.ones(pred.shape[0], jnp.int32))
+                else:
+                    p1 = pred.squeeze(-1)
+                    loss = bce_with_logits(p1, jnp.ones_like(p1))
+                return loss, {**stats, "enc": enc_stats, "dis": dis_stats}
+
+            gen_loss, params, stats, opt_g = self._opt_step(
+                "generator", g_loss, params, opt["generator"],
+                sched["generator"].lr,
+            )
+            opt = {**opt, "generator": opt_g}
+
+        # ---- kendall / correlation step (trainer.py:152-161) ----------- #
+        def corr_loss(sub):
+            styles, enc_stats = enc_fwd(sub["enc"], stats, spec_in, keys[8])
+            loss = kendall_constraint(
+                aux, styles[:, : cfg.n_aux], activate=cfg.kendall_activation
+            )
+            return loss, {**stats, "enc": enc_stats}
+
+        aux_loss, params, stats, opt_c = self._opt_step(
+            "correlation", corr_loss, params, opt["correlation"],
+            sched["correlation"].lr,
+        )
+        opt = {**opt, "correlation": opt_c}
+
+        # ---- reconstruction step (trainer.py:163-172) ------------------ #
+        def rec_loss(sub):
+            styles, enc_stats = enc_fwd(sub["enc"], stats, spec_in, keys[9])
+            s2 = {**stats, "enc": enc_stats}
+            spec_out, dec_stats = dec_fwd(sub["dec"], s2, styles, keys[10])
+            loss = recon_loss(spec_in, spec_out, scale=cfg.use_flex_spec_target)
+            return loss, {**s2, "dec": dec_stats}
+
+        recon_loss_v, params, stats, opt_r = self._opt_step(
+            "reconstruction", rec_loss, params, opt["reconstruction"],
+            sched["reconstruction"].lr,
+        )
+        opt = {**opt, "reconstruction": opt_r}
+
+        # ---- mutual-info step (trainer.py:174-186) --------------------- #
+        # dead re-encode at trainer.py:176 — stats-only forward for parity
+        _, enc_stats_dead = enc_fwd(params["enc"], stats, spec_in, keys[11])
+        stats = {**stats, "enc": enc_stats_dead}
+
+        z_sample = jax.random.normal(keys[12], (cfg.batch_size, cfg.nstyle))
+
+        def mi_loss(sub):
+            spec_gen, dec_stats = dec_fwd(sub["dec"], stats, z_sample, keys[13])
+            s2 = {**stats, "dec": dec_stats}
+            z_recon, enc_stats = enc_fwd(sub["enc"], s2, spec_gen, keys[14])
+            loss = mse(z_recon, z_sample)
+            return loss, {**s2, "enc": enc_stats}
+
+        mi_loss_v, params, stats, opt_m = self._opt_step(
+            "mutual_info", mi_loss, params, opt["mutual_info"],
+            sched["mutual_info"].lr,
+        )
+        opt = {**opt, "mutual_info": opt_m}
+
+        # ---- smoothness step, until epoch_stop_smooth (trainer.py:188-200) #
+        def do_smooth(operand):
+            params, stats, opt_s = operand
+
+            def sm_loss(sub):
+                styles, enc_stats = enc_fwd(params["enc"], stats, spec_in, keys[15])
+                s2 = {**stats, "enc": enc_stats}
+                spec_out, dec_stats = dec_fwd(sub["dec"], s2, styles, keys[10])
+                loss = smoothness_loss(spec_out, GAU_KERNEL_SIZE)
+                return loss, {**s2, "dec": dec_stats}
+
+            loss, new_params, new_stats, new_opt = self._opt_step(
+                "smoothness", sm_loss, params, opt_s, sched["smoothness"].lr
+            )
+            return loss, new_params, new_stats, new_opt
+
+        def skip_smooth(operand):
+            params, stats, opt_s = operand
+            return jnp.float32(0.0), params, stats, opt_s
+
+        smooth_loss_v, params, stats, opt_s = jax.lax.cond(
+            epoch < cfg.epoch_stop_smooth, do_smooth, skip_smooth,
+            (params, stats, opt["smoothness"]),
+        )
+        opt = {**opt, "smoothness": opt_s}
+
+        new_state = state._replace(params=params, batch_stats=stats, opt=opt)
+        batch_losses = {
+            "dis": dis_loss,
+            "gen": gen_loss,
+            "aux": aux_loss,
+            "recon": recon_loss_v,
+            "smooth": smooth_loss_v,
+            "mi": mi_loss_v,
+        }
+        return new_state, batch_losses
+
+    # ------------------------------------------------------------------ #
+    # validation + metrics (reference trainer.py:206-304)
+    # ------------------------------------------------------------------ #
+
+    def _validate(self, state: TrainState, data: TrialData, alpha, rng):
+        cfg = self.cfg
+        params, stats = state.params, state.batch_stats
+        z = self._fwd(self.encoder, params["enc"], stats["enc"], data.val_spec,
+                      train=False)[0]
+        spec_out = self._fwd(self.decoder, params["dec"], stats["dec"], z,
+                             train=False)[0]
+        k1, k2 = jax.random.split(rng)
+
+        recon_v = mse(spec_out, data.val_spec)   # plain MSE (trainer.py:223)
+        aux_v = kendall_constraint(data.val_aux, z[:, : cfg.n_aux],
+                                   activate=cfg.kendall_activation)
+        smooth_v = smoothness_loss(spec_out, GAU_KERNEL_SIZE)
+
+        z_sample = jnp.asarray(
+            jax.random.normal(k1, (self.n_val, cfg.nstyle)), jnp.float32
+        )
+        spec_gen = self._fwd(self.decoder, params["dec"], stats["dec"], z_sample,
+                             train=False)[0]
+        z_recon = self._fwd(self.encoder, params["enc"], stats["enc"], spec_gen,
+                            train=False)[0]
+        mi_v = mse(z_recon, z_sample)
+
+        def d_eval(x, beta):
+            return self._fwd(self.discriminator, params["dis"], stats["dis"], x,
+                             beta, train=False)[0]
+
+        if cfg.gradient_reversal:
+            z_real = jax.random.normal(k2, (cfg.batch_size, cfg.nstyle))
+            rp = d_eval(z_real, alpha).squeeze(-1)
+            fp = d_eval(z, alpha).squeeze(-1)
+            dis_v = bce_with_logits(rp, jnp.ones_like(rp)) + bce_with_logits(
+                fp, jnp.zeros_like(fp)
+            )
+            gen_v = jnp.float32(0.0)
+        else:
+            z_real = jax.random.normal(k2, (self.n_val, cfg.nstyle))
+            rp = d_eval(z_real, None)
+            fp = d_eval(z, None)
+            if cfg.use_cnn_discriminator:
+                dis_v = nll_loss(rp, jnp.ones(rp.shape[0], jnp.int32)) + nll_loss(
+                    fp, jnp.zeros(fp.shape[0], jnp.int32)
+                )
+                gen_v = nll_loss(fp, jnp.ones(fp.shape[0], jnp.int32))
+            else:
+                rp1, fp1 = rp.squeeze(-1), fp.squeeze(-1)
+                dis_v = bce_with_logits(rp1, jnp.ones_like(rp1)) + bce_with_logits(
+                    fp1, jnp.zeros_like(fp1)
+                )
+                gen_v = bce_with_logits(fp1, jnp.ones_like(fp1))
+
+        return z, {"recon": recon_v, "aux": aux_v, "smooth": smooth_v,
+                   "mi": mi_v, "dis": dis_v, "gen": gen_v}
+
+    # ------------------------------------------------------------------ #
+    # full run
+    # ------------------------------------------------------------------ #
+
+    def epoch_step(self, state: TrainState, epoch, data: TrialData):
+        cfg = self.cfg
+        k_epoch = jax.random.fold_in(state.rng, epoch)
+        k_perm, k_val = jax.random.split(k_epoch)
+
+        alpha = alpha_schedule(
+            epoch.astype(jnp.float32) / cfg.max_epoch, cfg.alpha_flat_step, cfg.alpha_limit
+        ) if cfg.gradient_reversal else jnp.float32(0.0)
+
+        # permuted, wrap-padded batch index matrix (static shape)
+        perm = jax.random.permutation(k_perm, self.n_train)
+        pad = self.n_batch * cfg.batch_size - self.n_train
+        idx = jnp.concatenate([perm, perm[:pad]]).reshape(self.n_batch, cfg.batch_size)
+
+        def batch_step(carry, batch):
+            st = carry
+            i, bidx = batch
+            spec = jnp.take(data.train_spec, bidx, axis=0)
+            aux = jnp.take(data.train_aux, bidx, axis=0)
+            st, losses = self._train_batch(
+                st, spec, aux, alpha, epoch, jax.random.fold_in(k_epoch, 1000 + i)
+            )
+            return st, losses
+
+        state, train_losses = jax.lax.scan(
+            batch_step, state, (jnp.arange(self.n_batch), idx)
+        )
+        last = jax.tree_util.tree_map(lambda x: x[-1], train_losses)
+        avg_mi = jnp.mean(train_losses["mi"])
+
+        z_val, val_losses = self._validate(state, data, alpha, k_val)
+
+        # quality metrics (trainer.py:286-297)
+        metrics = jnp.stack([
+            min_style_shapiro(z_val),
+            val_losses["recon"],
+            avg_mi,
+            max_interstyle_spearman(z_val),
+            val_losses["aux"],
+        ])
+        combined = -jnp.sum(METRIC_WEIGHTS * metrics)
+
+        # true-best tracking (min combined)
+        is_best = combined < state.best_combined
+        take = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(is_best, x, y), a, b
+        )
+        state = state._replace(
+            best_combined=jnp.where(is_best, combined, state.best_combined),
+            best_epoch=jnp.where(is_best, epoch, state.best_epoch),
+            best_params=take(state.params, state.best_params),
+            best_batch_stats=take(state.batch_stats, state.best_batch_stats),
+            # faithful (dead) gate: combined > faithful_best, init 10.0
+            faithful_best=jnp.where(
+                combined > state.faithful_best, combined, state.faithful_best
+            ),
+        )
+
+        # plateau schedulers all step on the combined metric (trainer.py:303-304)
+        sched = {
+            name: plateau_update(s, combined, cfg.sch_factor, cfg.sch_patience)
+            for name, s in state.sched.items()
+        }
+        state = state._replace(sched=sched)
+
+        log = {
+            "epoch": epoch,
+            "train_dis": last["dis"], "train_gen": last["gen"],
+            "train_aux": last["aux"], "train_recon": last["recon"],
+            "train_smooth": last["smooth"], "train_mi": last["mi"],
+            "val_dis": val_losses["dis"], "val_gen": val_losses["gen"],
+            "val_aux": val_losses["aux"], "val_recon": val_losses["recon"],
+            "val_smooth": val_losses["smooth"], "val_mi": val_losses["mi"],
+            "metrics": metrics,
+            "combined": combined,
+            "lr_recon": sched["reconstruction"].lr,
+        }
+        return state, log
+
+    def run(self, state: TrainState, data: TrialData):
+        """Full training: scan over epochs.  Jittable; vmap over trials."""
+
+        def step(carry, epoch):
+            return self.epoch_step(carry, epoch, data)
+
+        state, logs = jax.lax.scan(step, state, jnp.arange(self.cfg.max_epoch))
+        return state, logs
+
+    # convenience: final metrics in the reference's return format
+    @staticmethod
+    def final_metrics(logs) -> jnp.ndarray:
+        """metrics list of the last epoch (reference ``Trainer.train`` return)."""
+        return logs["metrics"][-1]

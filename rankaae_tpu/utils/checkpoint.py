@@ -1,0 +1,62 @@
+"""Checkpointing: model bundles the report layer can reload.
+
+The reference pickles whole torch ``nn.Module`` objects keyed
+"Encoder"/"Decoder"/"Style Discriminator" (``trainer.py:281-283,309-313``)
+and has **no resume path** (SURVEY.md §5).  Here a bundle is a msgpack of
+pure pytrees (params + batch_stats per role) plus the config needed to
+rebuild the modules — smaller, portable, and enough to resume (net-new
+capability: ``load_model_bundle`` returns everything ``RankAAETrainer``
+needs to continue).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from rankaae_tpu.utils.config import TrainConfig
+
+BUNDLE_VERSION = 1
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_model_bundle(
+    path: str,
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    cfg: TrainConfig,
+    extra: Dict[str, Any] | None = None,
+) -> str:
+    """Write ``<path>`` (msgpack) + ``<path>.json`` (config manifest)."""
+    payload = {
+        "version": BUNDLE_VERSION,
+        "params": _to_host(params),
+        "batch_stats": _to_host(batch_stats),
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    manifest = {"version": BUNDLE_VERSION, "config": cfg.to_dict()}
+    if extra:
+        manifest["extra"] = extra
+    with open(path + ".json", "w") as f:
+        json.dump(manifest, f, indent=1)
+    return path
+
+
+def load_model_bundle(path: str) -> Tuple[Dict[str, Any], Dict[str, Any], TrainConfig, Dict]:
+    """Returns (params, batch_stats, cfg, extra)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    with open(path + ".json") as f:
+        manifest = json.load(f)
+    cfg = TrainConfig(**manifest["config"])
+    return payload["params"], payload["batch_stats"], cfg, manifest.get("extra", {})
