@@ -1,0 +1,110 @@
+"""Benchmark: training throughput of the flagship config on one chip.
+
+Metric: spectra/sec/chip while running the FULL 6-loss / 7-optimizer
+protocol (``example/fix_config.yaml`` shapes: FC form, n_layers=5, batch
+1024, ~4900 training spectra, 8 hyperparameter-identical trials resident as
+a vmapped axis on the chip).
+
+Baseline: the reference's committed fixture runs — 1500 epochs over ~4900
+spectra in ~2947 s on one CUDA GPU per trial (BASELINE.md) =
+4900 * 1500 / 2947 ~= 2494 spectra/sec/device.  vs_baseline is our
+per-chip throughput over that number (the driver's north-star compares
+against the CPU reference, which is far slower; GPU is the harder bar).
+
+Prints ONE JSON line:
+  {"metric": "spectra_per_sec_per_chip_training", "value": N,
+   "unit": "spectra/s/chip", "vs_baseline": N}
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rankaae_tpu.data.synthetic import make_synthetic_xanes
+    from rankaae_tpu.train.trainer import RankAAETrainer, TrialData
+    from rankaae_tpu.utils.config import TrainConfig
+
+    EPOCHS = 50
+    TRIALS = 8
+    N_ROWS = 7000
+
+    cfg = TrainConfig.from_yaml("/root/reference/example/fix_config.yaml").replace(
+        max_epoch=EPOCHS, trials=TRIALS
+    ) if _reference_available() else _fallback_cfg(EPOCHS, TRIALS)
+
+    aux, spec, _ = make_synthetic_xanes(n_rows=N_ROWS, dim=cfg.dim_in, seed=0)
+    n_train = int(N_ROWS * 0.7)
+    n_val = int(N_ROWS * 0.15)
+    data = TrialData(
+        train_spec=jnp.asarray(spec[:n_train], jnp.float32),
+        train_aux=jnp.asarray(aux[:n_train], jnp.float32),
+        val_spec=jnp.asarray(spec[n_train:n_train + n_val], jnp.float32),
+        val_aux=jnp.asarray(aux[n_train:n_train + n_val], jnp.float32),
+    )
+
+    trainer = RankAAETrainer(cfg, n_train=n_train, n_val=n_val)
+    keys = jax.random.split(jax.random.PRNGKey(0), TRIALS)
+    states = jax.jit(jax.vmap(trainer.init_state))(keys)
+
+    run = jax.jit(jax.vmap(trainer.run, in_axes=(0, None)))
+    t0 = time.time()
+    lowered = run.lower(states, data)
+    compiled = lowered.compile()
+    compile_s = time.time() - t0
+    print(f"compile: {compile_s:.1f}s", file=sys.stderr)
+
+    # timed execution (compile excluded)
+    t0 = time.time()
+    out_states, logs = compiled(states, data)
+    jax.block_until_ready(logs["combined"])
+    wall = time.time() - t0
+
+    final_recon = np.asarray(logs["val_recon"])[:, -1]
+    spectra_per_sec = TRIALS * n_train * EPOCHS / wall
+    baseline = 4900 * 1500 / 2947.0  # reference GPU fixture throughput
+    result = {
+        "metric": "spectra_per_sec_per_chip_training",
+        "value": round(float(spectra_per_sec), 1),
+        "unit": "spectra/s/chip",
+        "vs_baseline": round(float(spectra_per_sec / baseline), 2),
+    }
+    print(
+        f"wall: {wall:.2f}s for {TRIALS} trials x {EPOCHS} epochs "
+        f"(batch {cfg.batch_size}, {n_train} train rows); "
+        f"median final val recon MSE: {np.median(final_recon):.5f}",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+def _reference_available():
+    import os
+
+    return os.path.exists("/root/reference/example/fix_config.yaml")
+
+
+def _fallback_cfg(epochs, trials):
+    from rankaae_tpu.utils.config import TrainConfig
+
+    return TrainConfig(
+        max_epoch=epochs, trials=trials, batch_size=1024, nstyle=6, n_aux=5,
+        ae_form="FC", n_layers=5, decoder_activation="Softplus",
+        optimizer_name="AdamW", gradient_reversal=True,
+        alpha_flat_step=739, alpha_limit=0.7172,
+        dis_beta=1.1, gen_beta=1.1, dis_dropout_rate=0.056, dis_noise=0.56,
+        dropout_rate=0.04, lr_base=1e-3, lr_ratio_Corr=10, lr_ratio_Mutual=1,
+        lr_ratio_Reconn=10, lr_ratio_Smooth=1, lr_ratio_dis=1, lr_ratio_gen=10,
+        spec_noise=0.02, use_flex_spec_target=True, weight_decay=0.01,
+        kendall_activation=True, epoch_stop_smooth=1500,
+        sch_factor=0.1, sch_patience=100,
+    )
+
+
+if __name__ == "__main__":
+    main()

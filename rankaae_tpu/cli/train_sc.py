@@ -1,0 +1,130 @@
+"""``train_sc`` equivalent: multi-trial training driver.
+
+Reference CLI contract (``sc/cmd/train_sc.py:105-157``):
+``train_sc -c config.yaml [-w work_dir]`` reads the YAML from the work dir,
+runs ``trials`` hyperparameter-identical trainings, writes per-trial
+``training/job_<i>/{messages.txt, losses.csv, final.*}`` and a
+``main_process_message.txt`` with per-trial and total wall times.
+
+TPU-native difference: no ipcluster — one process drives the whole mesh, all
+trials train concurrently as a vmapped axis (``rankaae_tpu.parallel``).  The
+reference's per-trial SIGALRM timeout (``train_sc.py:21-22,91-97``) becomes a
+total wall-clock alarm around the compiled run: trials advance in lockstep,
+so a per-trial deadline and a total deadline coincide.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from rankaae_tpu.data.dataset import load_split_arrays
+from rankaae_tpu.parallel.trials import run_trials
+from rankaae_tpu.train.trainer import TrialData
+from rankaae_tpu.utils.checkpoint import save_model_bundle
+from rankaae_tpu.utils.config import Parameters, TrainConfig
+from rankaae_tpu.utils.logging import create_logger, write_losses_csv
+
+
+def _timeout_handler(signum, frame):
+    raise TimeoutError("Training Overtime!")
+
+
+def train_from_config(work_dir: str, params: Parameters, seed: int = 0):
+    """Run the full multi-trial training + artifact dump. Returns TrialResults."""
+    cfg = TrainConfig.from_parameters(params)
+    logger = create_logger(
+        "Main training:", os.path.join(work_dir, "main_process_message.txt"), append=True
+    )
+    logger.info("START")
+
+    data_file = os.path.join(work_dir, params.get("data_file"))
+    splits = load_split_arrays(
+        data_file, (cfg.train_ratio, cfg.validation_ratio, cfg.test_ratio), cfg.n_aux
+    )
+    data = TrialData(
+        train_spec=jnp.asarray(splits["train"].spec),
+        train_aux=jnp.asarray(splits["train"].aux),
+        val_spec=jnp.asarray(splits["val"].spec),
+        val_aux=jnp.asarray(splits["val"].aux),
+    )
+
+    import jax
+
+    logger.info(
+        f"Running {cfg.trials} trial(s) on {len(jax.devices())} device(s): "
+        f"{[str(d) for d in jax.devices()]}"
+    )
+
+    timeout_s = int(cfg.timeout * 3600)
+    if timeout_s > 0 and hasattr(signal, "SIGALRM"):
+        signal.signal(signal.SIGALRM, _timeout_handler)
+        signal.alarm(timeout_s)
+    start = time.time()
+    try:
+        results = run_trials(cfg, data, seed=seed)
+    finally:
+        if timeout_s > 0 and hasattr(signal, "SIGALRM"):
+            signal.alarm(0)
+    total = time.time() - start
+
+    # per-trial artifacts (reference train_sc.py:48-102 layout)
+    for i in range(results.n_trials):
+        job_dir = os.path.join(work_dir, "training", f"job_{i+1}")
+        os.makedirs(job_dir, exist_ok=True)
+        tr = results.trial(i)
+        job_logger = create_logger(f"subtraining_{i+1}",
+                                   os.path.join(job_dir, "messages.txt"))
+        job_logger.info(f"Training started for trial {i+1}.")
+        write_losses_csv(os.path.join(job_dir, "losses.csv"), tr["logs"])
+        save_model_bundle(
+            os.path.join(job_dir, "final.mpk"),
+            tr["final_params"], tr["final_batch_stats"], cfg,
+            extra={"final_metrics": [float(x) for x in tr["final_metrics"]]},
+        )
+        # net-new: the true best (min combined metric) — the reference's
+        # best.pt gate is dead code (SURVEY.md §2.4 / trainer docstring)
+        save_model_bundle(
+            os.path.join(job_dir, "best_tracked.mpk"),
+            tr["best_params"], tr["best_batch_stats"], cfg,
+            extra={"best_epoch": tr["best_epoch"], "best_combined": tr["best_combined"]},
+        )
+        job_logger.info(list(np.round(tr["final_metrics"], 6)))
+        job_logger.info(
+            f"Training finished. Time used: {total:.2f}s (concurrent with all trials).\n\n"
+        )
+
+    per_trial = total / max(results.n_trials, 1)
+    logger.info(
+        f"Time used for each trial: {per_trial:.2f} +/- 0.00s (lockstep).\n"
+        + " ".join([f"{per_trial:.2f}s"] * results.n_trials)
+    )
+    logger.info(
+        f"Total time used: {total:.2f}s for {results.n_trials} trails "
+        f"({per_trial:.2f} each on average)."
+    )
+    logger.info("END\n\n")
+    return results
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True,
+                        help="Config for training parameter in YAML format")
+    parser.add_argument("-w", "--work_dir", type=str, default=".",
+                        help="Working directory to write the output files")
+    parser.add_argument("--seed", type=int, default=0, help="Base RNG seed")
+    args = parser.parse_args(argv)
+
+    work_dir = os.path.abspath(os.path.expanduser(args.work_dir))
+    assert os.path.exists(work_dir)
+    params = Parameters.from_yaml(os.path.join(work_dir, args.config))
+    train_from_config(work_dir, params, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

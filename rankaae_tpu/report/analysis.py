@@ -1,0 +1,372 @@
+"""Model evaluation and selection — host-side analysis over trained bundles.
+
+Behavioral spec: reference ``sc/report/analysis.py``.  Heavy forwards
+(full-split encodes, the 50 x n_sampling decoder sweep) run jitted on device
+through :class:`rankaae_tpu.models.inference.InferenceModel`; statistics and
+plots stay on host (numpy/scipy/sklearn/matplotlib — same as the reference).
+"""
+from __future__ import annotations
+
+import math
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import numpy as np
+from numpy.polynomial import Polynomial
+from scipy import stats
+from scipy.interpolate import interp1d
+from scipy.stats import shapiro, spearmanr
+from sklearn.metrics import confusion_matrix, f1_score, mean_absolute_error
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib as mpl  # noqa: E402
+import matplotlib.pyplot as plt  # noqa: E402
+import seaborn as sns  # noqa: E402
+
+from rankaae_tpu.models.inference import InferenceModel  # noqa: E402
+
+# plotly.express.colors.sequential.Plotly3 hex values (public colormap data;
+# plotly itself is not a dependency — reference analysis.py:20-30 interpolates
+# these into an n-color map)
+_PLOTLY3 = [
+    "#0508b8", "#1910d8", "#3c19f0", "#6b1cfb", "#981cfd", "#bf1cfd",
+    "#dd2bfd", "#f246fe", "#fc67fd", "#fe88fc", "#fea5fd", "#febefe",
+    "#fec3fe",
+]
+
+
+def create_plotly_colormap(n_colors: int) -> List[str]:
+    """Cubic-interpolated Plotly3 colormap (reference ``analysis.py:20-30``)."""
+    rgb = np.array(
+        [[int(f"0x{h[i:i+2]}", 16) for i in range(1, 7, 2)] for h in _PLOTLY3]
+    )
+    x0 = np.linspace(1, n_colors, rgb.shape[0])
+    x1 = np.linspace(1, n_colors, n_colors)
+    target = np.stack(
+        [interp1d(x0, rgb[:, i], kind="cubic")(x1) for i in range(3)]
+    ).T.round().astype(int)
+    return ["#" + "".join(f"{c:02x}" for c in row) for row in target]
+
+
+def plot_spectra_variation(
+    model: InferenceModel,
+    istyle: int,
+    n_spec: int = 50,
+    n_sampling: int = 1000,
+    true_range: bool = True,
+    styles: Optional[np.ndarray] = None,
+    amplitude: float = 2.0,
+    ax=None,
+    energy_grid=None,
+    colors=None,
+    plot_residual: bool = False,
+    seed: int = 0,
+    **kwargs,
+):
+    """Decoder sweep over one style (reference ``analysis.py:33-103``):
+    vary style ``istyle`` across its [5th, 95th] percentile over ``n_spec``
+    values; other styles ~ N(0,1) MC-averaged over ``n_sampling`` draws
+    (or zeroed when ``n_sampling == 0``).  One batched device decode."""
+    nstyle = model.nstyle
+    if true_range:
+        left, right = np.percentile(styles[:, istyle], [5, 95])
+    else:
+        left, right = -amplitude, amplitude
+
+    rng = np.random.default_rng(seed)
+    if n_sampling == 0:
+        c = np.linspace(left, right, n_spec, dtype=np.float32)
+        con_c = np.zeros((n_spec, nstyle), np.float32)
+        con_c[:, istyle] = c
+        spec_out = model.decode(con_c)
+        style_variation = c
+    else:
+        con_c = rng.standard_normal((n_spec, n_sampling, nstyle)).astype(np.float32)
+        style_variation = np.linspace(left, right, n_spec, dtype=np.float32)
+        con_c[..., istyle] = style_variation[:, None]
+        spec_out = model.decode(con_c.reshape(n_spec * n_sampling, nstyle))
+        spec_out = spec_out.reshape(n_spec, n_sampling, -1).mean(axis=1)
+
+    if ax is not None:
+        if colors is None:
+            colors = create_plotly_colormap(n_spec)
+        assert len(colors) == n_spec
+        for spec, color in zip(spec_out, colors):
+            if energy_grid is None:
+                ax.plot(spec, c=color, **kwargs)
+            elif plot_residual:
+                ax.plot(energy_grid, spec_out[-1] - spec_out[0], **kwargs)
+                ax.set_ylim([-0.5, 0.5])
+                break
+            else:
+                ax.plot(energy_grid, spec, c=color, **kwargs)
+        ax.set_title(f"Style {istyle+1} varying from {left:.2f} to {right:.2f}", y=1)
+
+    return style_variation, spec_out
+
+
+def get_confusion_matrix(cn, style_cn, ax=None) -> Optional[Dict]:
+    """CN classifier from one style: scan 700 thresholds in [-3.5, 3.5] for
+    the max-F1 CN4/5 and CN5/6 splits; weighted F1 + 3x3 confusion matrix
+    (reference ``analysis.py:234-311``)."""
+    result = {"F1 score": None, "CN45 Threshold": None, "CN56 Threshold": None}
+    thresh_grid = np.linspace(-3.5, 3.5, 700)
+    cn_classes = (np.asarray(cn) - 4).astype(int)
+    cn_class_sets = sorted(set(cn_classes.tolist()))
+    if len(cn_class_sets) > 3:  # descriptor is not CN-like (noise)
+        return None
+
+    cn4_f1 = [f1_score(style_cn < th, cn_classes < 1, zero_division=0) for th in thresh_grid]
+    cn6_f1 = [f1_score(style_cn > th, cn_classes > 1, zero_division=0) for th in thresh_grid]
+    cn45 = thresh_grid[int(np.argmax(cn4_f1))]
+    cn56 = thresh_grid[int(np.argmax(cn6_f1))]
+
+    pred = (style_cn > cn45).astype(int) + (style_cn > cn56).astype(int)
+    cm = confusion_matrix(cn_classes, pred)
+    if len(cn_class_sets) == 1:
+        c = int(cn_class_sets[0])
+        full = np.zeros((3, 3), int)
+        full[c, c] = cm[0, 0]
+        cm = full
+    f1w = f1_score(cn_classes, pred, average="weighted")
+
+    result["F1 score"] = round(float(f1w), 4)
+    result["CN45 Threshold"] = round(float(cn45), 4)
+    result["CN56 Threshold"] = round(float(cn56), 4)
+
+    if ax is not None:
+        sns.set_palette("bright", 2)
+        ax[0].plot(thresh_grid, cn4_f1, label="CN4")
+        ax[0].plot(thresh_grid, cn6_f1, label="CN6")
+        ax[0].axvline(cn45, c="blue")
+        ax[0].axvline(cn56, c="orange")
+        ax[0].legend(loc="lower left", fontsize=12)
+
+        sns.heatmap(cm, cmap="Blues", annot=True, fmt="d", cbar=False, ax=ax[1],
+                    xticklabels=[f"CN{c+4}" for c in range(3)],
+                    yticklabels=[f"CN{c+4}" for c in range(3)])
+        ax[1].set_title(f"F1 Score = {f1w:.1%}", fontsize=12)
+        ax[1].set_xlabel("Pred")
+        ax[1].set_ylabel("True")
+
+        colors = np.array(sns.color_palette("bright", 3))
+        test_colors = np.array(
+            [mpl.colors.colorConverter.to_rgba(c, alpha=0.6) for c in colors[cn_classes]]
+        )
+        rand_y = np.random.uniform(style_cn.min(), style_cn.max(), len(cn_classes))
+        ax[2].scatter(style_cn, rand_y, s=10.0, color=test_colors, alpha=0.8)
+        ax[2].set_xlabel("Style 2")
+        ax[2].set_ylabel("Random")
+        ax[2].set_xlim([style_cn.min() - 1, style_cn.max() + 1])
+        ax[2].set_ylim([style_cn.min() - 2, style_cn.max() + 1])
+        ax[2].axvline(cn45, c="gray")
+        ax[2].axvline(cn56, c="gray")
+
+    return result
+
+
+def get_max_inter_style_correlation(styles) -> float:
+    """max |spearman(style_i, style_last)| (reference ``analysis.py:313-325``
+    — note: each style vs the *last* style only, not all pairs)."""
+    corr = [
+        math.fabs(spearmanr(styles[:, i], styles[:, -1]).correlation)
+        for i in range(styles.shape[1] - 1)
+    ]
+    return round(max(corr), 4)
+
+
+def get_descriptor_style_correlation(
+    style, descriptor, ax=None, choice=("R2", "Spearman"), fit=True
+) -> Dict:
+    """Linear R^2, Spearman rho, optional quadratic fit between one style and
+    one descriptor, NaN-masked (reference ``analysis.py:328-391``)."""
+    order = np.argsort(style)
+    style = np.asarray(style)[order]
+    descriptor = np.asarray(descriptor)[order]
+    mask = ~(np.isnan(descriptor) | np.isnan(style))
+    style, descriptor = style[mask], descriptor[mask]
+
+    accuracy = {
+        "Spearman": None,
+        "Linear": {"slope": None, "intercept": None, "R2": None},
+        "Quadratic": {"Parameters": [None, None, None], "residue": None, "R2": None},
+    }
+    fitted = None
+    if "R2" in choice:
+        res = stats.linregress(style, descriptor)
+        accuracy["Linear"]["R2"] = float(np.round(res.rvalue**2, 4))
+        accuracy["Linear"]["intercept"] = float(np.round(res.intercept, 4))
+        accuracy["Linear"]["slope"] = float(np.round(res.slope, 4))
+        fitted = res.intercept + style * res.slope
+    if "Spearman" in choice:
+        accuracy["Spearman"] = float(np.round(spearmanr(style, descriptor).correlation, 4))
+    if "Quadratic" in choice:
+        p, info = Polynomial.fit(style, descriptor, 2, full=True)
+        accuracy["Quadratic"]["Parameters"] = np.round(p.convert().coef, 4).tolist()
+        accuracy["Quadratic"]["residue"] = float(np.round(info[0][0] / len(style), 4)) \
+            if len(info[0]) else 0.0
+        fitted = p(style)
+        accuracy["Quadratic"]["R2"] = float(
+            np.round(stats.linregress(fitted, descriptor).rvalue**2, 4)
+        )
+
+    if ax is not None:
+        ax.scatter(style, descriptor, s=10.0, c="blue", edgecolors="none", alpha=0.8)
+        if fit and fitted is not None:
+            ax.plot(style, fitted, lw=2, c="black", alpha=0.5)
+
+    return accuracy
+
+
+def evaluate_model(test_ds, model: InferenceModel, reconstruct=True, accuracy=True,
+                   style=True) -> Dict:
+    """Per-model evaluation (reference ``analysis.py:394-450``): recon MAE
+    mean/std per spectrum; per-descriptor correlation (CN via confusion/F1,
+    others via R2+Spearman+quadratic); max inter-style Spearman."""
+    descriptors = test_ds.aux
+    result = {
+        "Style-descriptor Corr": {},
+        "Input": None,
+        "Output": None,
+        "Reconstruct Err": (None, None),
+        "Inter-style Corr": None,
+    }
+    spec_in = np.asarray(test_ds.spec, np.float32)
+    styles = model.encode(spec_in)
+    result["Input"] = spec_in
+
+    if reconstruct:
+        spec_out = model.decode(styles)
+        mae = [mean_absolute_error(s1, s2) for s1, s2 in zip(spec_in, spec_out)]
+        result["Reconstruct Err"] = [
+            round(float(np.mean(mae)), 4), round(float(np.std(mae)), 4)
+        ]
+        result["Output"] = spec_out
+
+    if accuracy:
+        for i in range(descriptors.shape[1]):
+            if i == 1:  # CN
+                result["Style-descriptor Corr"][i] = get_confusion_matrix(
+                    descriptors[:, i], styles[:, i], ax=None
+                )
+            else:
+                result["Style-descriptor Corr"][i] = get_descriptor_style_correlation(
+                    descriptors[:, i], styles[:, i], ax=None,
+                    choice=("R2", "Spearman", "Quadratic"),
+                )
+
+    if style:
+        result["Inter-style Corr"] = get_max_inter_style_correlation(styles)
+
+    return result
+
+
+def evaluate_all_models(model_path: str, test_ds) -> Dict[str, Dict]:
+    """Evaluate every ``job_*/final.mpk`` under ``model_path``
+    (reference ``analysis.py:105-123`` over ``final.pt``)."""
+    result = {}
+    for job in sorted(os.listdir(model_path)):
+        if job.startswith("job_"):
+            bundle = os.path.join(model_path, job, "final.mpk")
+            model = InferenceModel.from_bundle(bundle)
+            result[job] = evaluate_model(test_ds, model)
+    return result
+
+
+def load_evaluations(evaluation_path="./report_model_evaluations.pkl"):
+    with open(evaluation_path, "rb") as f:
+        return pickle.load(f)
+
+
+def sort_all_models(result_dict, sort_score=None, plot_score=False, ascending=True,
+                    top_n=None, true_value=True):
+    """Score-matrix ranking + optional seaborn heatmap
+    (reference ``analysis.py:130-231``)."""
+    score_names = [
+        "Inter-style Corr",
+        "Reconstuction Err",
+        "Style_1 - CT Corr",
+        "Style_2 - CN Corr",
+        "Style_3 - OCN Corr",
+        "Style_4 - Rstd Corr",
+        "Style_5 - OO Corr",
+    ]
+    scores, jobs = [], []
+    for job, result in result_dict.items():
+        jobs.append(job)
+        score = [result["Inter-style Corr"], result["Reconstruct Err"][0]]
+        for i in range(5):
+            try:
+                a = result["Style-descriptor Corr"][i]
+                score.append(a["F1 score"] if i == 1 else a["Spearman"])
+            except (KeyError, TypeError):
+                score.append(0)
+        scores.append(score)
+
+    jobs = np.array(jobs)
+    scores = np.array(scores, dtype=float)
+    mu_std = np.stack((scores.mean(axis=0), scores.std(axis=0)), axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z_scores = (scores - mu_std[:, 0]) / mu_std[:, 1]
+    z_scores[:, mu_std[:, 1] == 0] = 0
+
+    if callable(sort_score):
+        final_score = sort_score(z_scores)
+    elif isinstance(sort_score, int) and sort_score >= 0:
+        final_score = scores[:, sort_score]
+    else:
+        final_score = np.arange(len(scores))
+
+    rank = np.argsort(final_score)
+    if (sort_score is not None) and (not ascending):
+        rank = rank[::-1]
+
+    ranked_scores = scores[rank]
+    ranked_final = final_score[rank]
+    ranked_jobs = jobs[rank]
+    ranked_z = z_scores[rank]
+
+    for i, (job, score) in enumerate(zip(ranked_jobs, ranked_final)):
+        result_dict[job]["Rank"] = i
+        result_dict[job]["Score"] = round(float(score), 4)
+
+    fig = None
+    if plot_score:
+        if top_n is None or top_n > len(ranked_z):
+            top_n = len(ranked_z)
+        fig, ax = plt.subplots(figsize=(top_n, scores.shape[1]))
+        ax.autoscale(enable=True)
+        sns.heatmap(
+            ranked_z[:top_n].T,
+            vmin=-3, vmax=3, cmap="Blues", cbar=True,
+            annot=ranked_z[:top_n].T if not true_value else ranked_scores[:top_n].T,
+            ax=ax,
+            yticklabels=[f"{n}\n{ms[0]:.3f}+-{ms[1]:.3f}" for n, ms in zip(score_names, mu_std)],
+            xticklabels=[f"{ranked_jobs[i]}: {ranked_final[i]:.2f} " for i in range(top_n)],
+        )
+        ax.set_yticklabels(ax.get_yticklabels(), rotation=0)
+        ax.set_xticklabels(ax.get_xticklabels(), rotation=45, ha="left", va="bottom")
+        ax.tick_params(labelbottom=False, labeltop=True, axis="both", length=0, labelsize=15)
+
+    return result_dict, ranked_jobs, fig
+
+
+def qqplot_normal(x, ax=None, grid=True, seed=None):
+    """Shapiro statistic + Q-Q plot against a sampled normal
+    (reference ``analysis.py:453-476``)."""
+    n = len(x)
+    x_std = (x - x.mean()) / x.std()
+    z_score = np.sort(x_std)
+    rng = np.random.default_rng(seed)
+    normal = rng.standard_normal(n)
+    q_normal = np.quantile(normal, np.linspace(0, 1, n))
+    stat = shapiro(z_score).statistic
+    if ax is not None:
+        ax.plot(q_normal, z_score, ls="", marker=".", color="k")
+        ax.plot([q_normal.min(), q_normal.max()], [q_normal.min(), q_normal.max()],
+                color="k", alpha=0.5)
+        ax.grid(grid)
+    return stat

@@ -1,0 +1,256 @@
+"""Report generation: model selection + the 12x6-grid master figure.
+
+Behavioral spec: reference ``sc/report/generate_report.py``.  Notable
+faithful quirks preserved:
+
+* the "test" dataset of the report stage is the **"val"** split
+  (``generate_report.py:246``);
+* ``sorting_algorithm`` scores z-scored metric columns with weights
+  [-1, 0, 1, 1, 1, 1, 1] divided by the recon column (``:16-45``);
+* ``plot_job`` short-circuits selection to a single job (``:248-251``).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+from collections import OrderedDict
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+from matplotlib import pyplot as plt  # noqa: E402
+
+from rankaae_tpu.data.dataset import AuxSpectraDataset  # noqa: E402
+from rankaae_tpu.models.inference import InferenceModel  # noqa: E402
+from rankaae_tpu.report import analysis  # noqa: E402
+from rankaae_tpu.report.curves import LossCurvePlotter, Reconstruct  # noqa: E402
+from rankaae_tpu.utils.config import Parameters  # noqa: E402
+
+
+def sorting_algorithm(x: np.ndarray) -> np.ndarray:
+    """Trial score from the z-scored metric matrix
+    (reference ``generate_report.py:16-45``): columns are
+    [inter-style corr, recon err, 5x style-descriptor corr];
+    score = (sum of weighted cols) / recon col, weights [-1, 0, 1, 1, 1, 1, 1].
+    """
+    weight = [-1, 0, 1, 1, 1, 1, 1]
+    off_set = 1 if np.sum(weight) == weight[1] else 0
+    xx = x.copy()
+    xx[:, 0] = x[:, 0] * weight[0]
+    xx[:, 1] = x[:, 1] ** weight[1]
+    for i in range(2, 7):
+        xx[:, i] = x[:, i] * weight[i]
+    return (off_set + xx[:, 0] + np.sum(xx[:, 2:], axis=1)) / xx[:, 1]
+
+
+def _cosine_similarity(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    a = np.asarray(a, float)
+    b = np.asarray(b, float)
+    an = a / np.linalg.norm(a, axis=1, keepdims=True)
+    bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+    return an @ bn.T
+
+
+def plot_report(test_ds, model: InferenceModel, config=None, title="report"):
+    """The master report figure (reference ``generate_report.py:48-176``):
+    style-sweep panels, 4x4 style-vs-descriptor grid, Q-Q panels, CN
+    confusion triple panel."""
+    n_aux = config.n_aux
+    plot_residual = config.get("plot_residual", None) if hasattr(config, "get") else None
+    n_sampling = config.get("n_sampling", 1000) if hasattr(config, "get") else 1000
+
+    name_list = ["CT", "CN", "OCN", "Rstd", "OO"]
+
+    result = analysis.evaluate_model(test_ds, model)
+    style_correlation = result["Inter-style Corr"]
+
+    test_grid = test_ds.grid
+    test_styles = model.encode(np.asarray(test_ds.spec, np.float32))
+    n_styles = test_styles.shape[1]
+    descriptors = test_ds.aux
+    if n_aux < 5:
+        ts = np.zeros((test_styles.shape[0], 6))
+        ts[:, : n_aux + 1] = test_styles
+        test_styles = ts
+        ds_ = np.zeros((descriptors.shape[0], 5))
+        ds_[:, :n_aux] = descriptors
+        descriptors = ds_
+        if n_aux < 2:
+            descriptors[:, 1] = 4
+
+    fig = plt.figure(figsize=(12, 24), constrained_layout=True, dpi=100)
+    gs = fig.add_gridspec(12, 6)
+    ax1 = fig.add_subplot(gs[0:2, 0:2])
+    ax2 = fig.add_subplot(gs[0:2, 2:4])
+    axa = fig.add_subplot(gs[0:2, 4:6])
+    ax3 = fig.add_subplot(gs[2:4, 0:2])
+    ax4 = fig.add_subplot(gs[2:4, 2:4])
+    axb = fig.add_subplot(gs[2:4, 4:6])
+    ax5 = fig.add_subplot(gs[4:6, 4:6])
+    ax6 = fig.add_subplot(gs[6:8, 4:6])
+    ax7 = fig.add_subplot(gs[8:10, 4:6])
+
+    fig.suptitle(f"{title:s}\nLeast correlation: {style_correlation:.4f}")
+
+    axs_spec = [ax1, ax2, axa, ax3, ax4, axb][:n_styles]
+    spectra_reconstructed = []
+    for istyle, ax in enumerate(axs_spec):
+        _, spec_recon = analysis.plot_spectra_variation(
+            model, istyle,
+            true_range=True,
+            styles=test_styles,
+            amplitude=2,
+            n_spec=50,
+            n_sampling=n_sampling,
+            energy_grid=test_grid,
+            plot_residual=plot_residual,
+            ax=ax,
+        )
+        spectra_reconstructed.append(spec_recon)
+
+    if plot_residual:
+        residuals = [s[-1] - s[0] for s in spectra_reconstructed]
+        cos_sim = _cosine_similarity(np.stack(residuals), np.stack(residuals))
+        for istyle, ax in enumerate(axs_spec):
+            row = cos_sim[istyle]
+            max_cos, max_j = -1.0, 0
+            for j, v in enumerate(row):
+                if j != istyle and v >= max_cos:
+                    max_cos, max_j = v, j
+            ax.text(0.95, 0.95, f"max_cos_sim: {max_cos:.2f}\nwith style{max_j+1}",
+                    va="top", ha="right", transform=ax.transAxes, fontsize=20)
+
+    # style-vs-descriptor grid (CN excluded)
+    styles_no_s2 = np.delete(test_styles, 1, axis=1)
+    descriptors_no_cn = np.delete(descriptors, 1, axis=1)
+    name_list_no_cn = np.delete(name_list, 1, axis=0)
+    for row in [4, 5, 6, 7]:
+        for col in [0, 1, 2, 3]:
+            ax = fig.add_subplot(gs[row, col])
+            plot_fit = col == row - 4
+            choice = ("R2", "Spearman", "Quadratic") if col == 0 else ("R2", "Spearman")
+            accuracy = analysis.get_descriptor_style_correlation(
+                styles_no_s2[:, col], descriptors_no_cn[:, row - 4],
+                ax=ax, choice=choice, fit=plot_fit,
+            )
+            ax.set_title(
+                f"{name_list_no_cn[row-4]}: "
+                + "{0:.2f}/{1:.2f}".format(accuracy["Linear"]["R2"], accuracy["Spearman"])
+            )
+
+    # Q-Q normality panels
+    for col in [0, 1, 2, 3]:
+        ax = fig.add_subplot(gs[8, col])
+        stat = analysis.qqplot_normal(styles_no_s2[:, col], ax)
+        label_col = col + 1 if col > 0 else col  # skip style 2 (CN)
+        ax.set_title(f"style_{label_col+1}: {stat:.2f}")
+    ax = fig.add_subplot(gs[9, 3])
+    stat = analysis.qqplot_normal(test_styles[:, 1], ax)
+    ax.set_title(f"style_2: {stat:.2f}")
+
+    # CN confusion triple panel
+    analysis.get_confusion_matrix(descriptors[:, 1].astype(int), test_styles[:, 1],
+                                  [ax5, ax6, ax7])
+    return fig
+
+
+def save_evaluation_result(save_dir, file_name, model_results, save_spectra=False, top_n=5):
+    """Top-n results to ``<name>.json`` + best model spectra to ``.in/.out``
+    (reference ``generate_report.py:179-203``)."""
+    save_dict = OrderedDict()
+    top_n = min(top_n, len(model_results))
+    sorted_top_n = list(range(top_n))
+    for job, result in model_results.items():
+        if result["Rank"] in sorted_top_n:
+            sorted_top_n[result["Rank"]] = job
+    spec_in = spec_out = None
+    for job in sorted_top_n:
+        result = model_results[job]
+        save_dict[job] = {k: v for k, v in result.items() if k not in ("Input", "Output")}
+        if result["Rank"] == 0 and save_spectra:
+            spec_in, spec_out = result["Input"], result["Output"]
+    with open(os.path.join(save_dir, file_name + ".json"), "wt") as f:
+        f.write(json.dumps(save_dict))
+    if spec_out is not None:
+        np.savetxt(os.path.join(save_dir, file_name + ".out"), spec_out)
+        np.savetxt(os.path.join(save_dir, file_name + ".in"), spec_in)
+
+
+def save_model_evaluations(save_dir, file_name, result):
+    with open(os.path.join(save_dir, file_name + "_model_evaluation.pkl"), "wb") as f:
+        pickle.dump(result, f)
+
+
+def save_model_selection_plot(save_dir, file_name, fig):
+    fig.savefig(os.path.join(save_dir, file_name + "_model_selection.png"),
+                bbox_inches="tight")
+
+
+def generate(work_dir: str, config: Parameters) -> str:
+    """The report pipeline (reference ``generate_report.py:218-293``).
+    Returns the path of the best-model report PNG."""
+    jobs_dir = os.path.join(work_dir, "training")
+    file_name = config.get("data_file", None)
+    output_name = config.get("output_name", "report")
+    top_n = config.get("top_n", 5)
+
+    if file_name is None:
+        csvs = [f for f in os.listdir(work_dir) if f.endswith(".csv")]
+        assert len(csvs) == 1, "Which data file are you going to use?"
+        file_name = csvs[0]
+    # faithful quirk: the report's "test" set is the val split (:246)
+    test_ds = AuxSpectraDataset(os.path.join(work_dir, file_name),
+                                split_portion="val", n_aux=config.n_aux)
+
+    plot_job = config.get("plot_job", None)
+    if plot_job is not None:
+        sorted_jobs = [plot_job]
+        out_png = os.path.join(work_dir, f"{output_name}_{sorted_jobs[0]}.png")
+    else:
+        model_results = analysis.evaluate_all_models(jobs_dir, test_ds)
+        model_results, sorted_jobs, fig_sel = analysis.sort_all_models(
+            model_results, plot_score=True, top_n=top_n,
+            sort_score=sorting_algorithm, ascending=False,
+        )
+        save_model_evaluations(work_dir, output_name, model_results)
+        if fig_sel is not None:
+            save_model_selection_plot(work_dir, output_name, fig_sel)
+        save_evaluation_result(work_dir, output_name, model_results,
+                               save_spectra=True, top_n=top_n)
+        out_png = os.path.join(work_dir, f"{output_name}_best_model.png")
+
+    top_model = InferenceModel.from_bundle(
+        os.path.join(jobs_dir, sorted_jobs[0], "final.mpk")
+    )
+    fig_top = plot_report(test_ds, top_model, config=config,
+                          title="-".join([output_name, str(sorted_jobs[0])]))
+    fig_top.savefig(out_png, bbox_inches="tight")
+
+    recon = Reconstruct(name=output_name)
+    recon.evaluate(test_ds, top_model, path_to_save=work_dir)
+
+    plotter = LossCurvePlotter()
+    fig = plotter.plot_loss_curve(os.path.join(jobs_dir, sorted_jobs[0], "losses.csv"))
+    fig.savefig(os.path.join(work_dir, "loss_curves.png"), bbox_inches="tight")
+    return out_png
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-w", "--work_dir", type=str, default=".",
+                        help="The folder where the model and data are.")
+    parser.add_argument("-c", "--config", type=str, required=True,
+                        help="Config for training parameter in YAML format")
+    args = parser.parse_args(argv)
+    work_dir = os.path.abspath(os.path.expanduser(args.work_dir))
+    config = Parameters.from_yaml(os.path.join(work_dir, args.config))
+    generate(work_dir, config)
+    print("Success: training report saved!")
+
+
+if __name__ == "__main__":
+    main()
