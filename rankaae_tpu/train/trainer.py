@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from rankaae_tpu.models.registry import build_autoencoder, build_discriminator
-from rankaae_tpu.ops.kendall import kendall_constraint
+from rankaae_tpu.ops.kendall_pallas import kendall_constraint_auto as kendall_constraint
 from rankaae_tpu.ops.losses import (
     alpha_schedule,
     bce_with_logits,
