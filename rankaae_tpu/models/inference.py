@@ -44,11 +44,15 @@ class InferenceModel:
         self._decode = jax.jit(
             lambda z: self.decoder.apply(_vars("dec", self.decoder), z, train=False)
         )
-        self._discriminate = jax.jit(
-            lambda z: self.discriminator.apply(
-                _vars("dis", self.discriminator), z, None, train=False
+        if params.get("dis"):
+            self._discriminate = jax.jit(
+                lambda z: self.discriminator.apply(
+                    _vars("dis", self.discriminator), z, None, train=False
+                )
             )
-        )
+        else:
+            # imported legacy checkpoints may lack a convertible discriminator
+            self._discriminate = None
 
     @classmethod
     def from_bundle(cls, path: str) -> "InferenceModel":
@@ -62,4 +66,6 @@ class InferenceModel:
         return np.asarray(self._decode(jnp.asarray(z, jnp.float32)))
 
     def discriminate(self, z) -> np.ndarray:
+        if self._discriminate is None:
+            raise ValueError("this bundle has no discriminator parameters")
         return np.asarray(self._discriminate(jnp.asarray(z, jnp.float32)))
