@@ -2,8 +2,10 @@
 
 Metric: spectra/sec/chip while running the FULL 6-loss / 7-optimizer
 protocol (``example/fix_config.yaml`` shapes: FC form, n_layers=5, batch
-1024, ~4900 training spectra, 8 hyperparameter-identical trials resident as
-a vmapped axis on the chip).
+1024, ~4900 training spectra) with 32 hyperparameter-identical trials
+resident as a vmapped axis on the chip — the reference's own test-fixture
+configuration (``sc/tests/data/fix_config.yaml``: ``trials: 32``); its
+process pool trains at most one trial per device.
 
 Baseline: the reference's committed fixture runs — 1500 epochs over ~4900
 spectra in ~2947 s on one CUDA GPU per trial (BASELINE.md) =
@@ -31,7 +33,7 @@ def main():
     from rankaae_tpu.utils.config import TrainConfig
 
     EPOCHS = 50
-    TRIALS = 8
+    TRIALS = 32
     N_ROWS = 7000
 
     cfg = TrainConfig.from_yaml("/root/reference/example/fix_config.yaml").replace(

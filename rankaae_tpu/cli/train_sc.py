@@ -118,12 +118,23 @@ def main(argv=None):
     parser.add_argument("-w", "--work_dir", type=str, default=".",
                         help="Working directory to write the output files")
     parser.add_argument("--seed", type=int, default=0, help="Base RNG seed")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="Enable jax_debug_nans (analog of the reference's "
+                             "always-on autograd anomaly detection)")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Write a jax.profiler trace of the training run")
     args = parser.parse_args(argv)
 
     work_dir = os.path.abspath(os.path.expanduser(args.work_dir))
     assert os.path.exists(work_dir)
     params = Parameters.from_yaml(os.path.join(work_dir, args.config))
-    train_from_config(work_dir, params, seed=args.seed)
+
+    from rankaae_tpu.utils.profiling import enable_nan_debugging, trace
+
+    if args.debug_nans:
+        enable_nan_debugging(True)
+    with trace(args.profile_dir, label="train_sc"):
+        train_from_config(work_dir, params, seed=args.seed)
 
 
 if __name__ == "__main__":

@@ -75,15 +75,59 @@ class AuxSpectraDataset:
         return self.spec[idx], self.aux[idx]
 
 
+def _read_csv_pandas(csv_fn: str, dtype):
+    full_df = pd.read_csv(csv_fn, index_col=[0, 1], comment="#")
+    cols = full_df.columns.to_list()
+    return cols, full_df.to_numpy().astype(dtype), full_df.index.to_list()
+
+
+def _read_index_fast(csv_fn: str, n: int) -> list:
+    """Light pass extracting the 2-level row index (first two CSV fields)."""
+    index = []
+    with open(csv_fn) as f:
+        header_seen = False
+        for line in f:
+            ls = line.lstrip()
+            if not ls or ls.startswith("#"):
+                continue
+            if not header_seen:
+                header_seen = True
+                continue
+            a, b, _ = line.split(",", 2)
+            index.append((a, int(b) if b.isdigit() else b))
+    assert len(index) == n, (len(index), n)
+    return index
+
+
+def _read_csv(csv_fn: str, dtype, engine: str = "auto"):
+    """CSV -> (column names, float payload, 2-level row index).
+
+    engine="auto" prefers the native C++ loader (native/csv_loader.cpp,
+    ~10x the pandas parse on the reference-sized dataset) and falls back to
+    pandas; "pandas"/"native" force a path.
+    """
+    if engine in ("auto", "native"):
+        try:
+            from rankaae_tpu.data.native import load_csv_native
+
+            cols, data = load_csv_native(csv_fn, n_index_cols=2)
+            index = _read_index_fast(csv_fn, data.shape[0])
+            return cols, data.astype(dtype, copy=False), index
+        except (RuntimeError, OSError, AssertionError, ValueError):
+            if engine == "native":
+                raise
+    return _read_csv_pandas(csv_fn, dtype)
+
+
 def load_split_arrays(
     csv_fn: str,
     ratios: Tuple[float, float, float] = (0.7, 0.15, 0.15),
     n_aux: int = 0,
     dtype=np.float32,
+    engine: str = "auto",
 ) -> Dict[str, SplitArrays]:
     """Load the CSV once and return all three contiguous splits."""
-    full_df = pd.read_csv(csv_fn, index_col=[0, 1], comment="#")
-    cols = full_df.columns.to_list()
+    cols, data, index = _read_csv(csv_fn, dtype, engine)
     grid = np.array([float(c[len("ENE_"):]) for c in cols if c.startswith("ENE_")])
 
     # Column-layout asserts, as in the reference (dataloader.py:21-25).
@@ -92,10 +136,8 @@ def load_split_arrays(
         assert not cols[n_aux - 1].startswith("ENE_")
         assert cols[0].startswith("AUX_") and cols[n_aux - 1].startswith("AUX_")
 
-    n = len(full_df)
+    n = data.shape[0]
     sizes = split_sizes(n, ratios)
-    data = full_df.to_numpy().astype(dtype)
-    index = full_df.index.to_list()
 
     out: Dict[str, SplitArrays] = {}
     start = 0
@@ -126,3 +168,57 @@ def epoch_batch_indices(rng: np.random.Generator, n: int, batch_size: int) -> np
     perm = rng.permutation(n)
     padded = np.concatenate([perm, perm[: n_batch * batch_size - n]])
     return padded.reshape(n_batch, batch_size)
+
+
+class ToTensor:
+    """Reference-compatible transform stub (``dataloader.py:59-61``) — arrays
+    are already float32 numpy here; kept for API familiarity."""
+
+    def __call__(self, sample):
+        return np.asarray(sample, np.float32)
+
+
+class DataLoader:
+    """Minimal batch iterator over an :class:`AuxSpectraDataset` with the
+    reference DataLoader semantics used by the trainer (shuffle for train,
+    sequential otherwise, ragged last batch, ``.dataset`` attribute).
+
+    The jitted trainer does NOT use this — it consumes device arrays
+    directly (``rankaae_tpu.train.trainer``); this exists for users of the
+    reference's ``get_dataloaders`` API (``dataloader.py:64-77``).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return -(-len(self.dataset) // self.batch_size)
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        for start in range(0, n, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            spec = self.dataset.spec[idx]
+            aux = (self.dataset.aux[idx] if self.dataset.aux is not None
+                   else np.zeros((len(idx), 1), np.float32))
+            yield np.asarray(spec, np.float32), np.asarray(aux, np.float32)
+
+
+def get_dataloaders(csv_fn: str, batch_size: int,
+                    train_val_test_ratios: Tuple[float, float, float] = (0.7, 0.15, 0.15),
+                    n_aux: int = 0):
+    """Reference-compatible loader factory (``dataloader.py:64-77``):
+    (train shuffled, val, test) loaders over the contiguous splits."""
+    ds_train, ds_val, ds_test = [
+        AuxSpectraDataset(csv_fn, p, train_val_test_ratios, n_aux=n_aux)
+        for p in PORTIONS
+    ]
+    return (
+        DataLoader(ds_train, batch_size, shuffle=True),
+        DataLoader(ds_val, batch_size),
+        DataLoader(ds_test, batch_size),
+    )

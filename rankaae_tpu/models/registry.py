@@ -47,3 +47,36 @@ def build_discriminator(cfg):
         noise=cfg.dis_noise,
         layers=cfg.FC_discriminator_layers,
     )
+
+
+class DualAAE:
+    """Composition of encoder + decoder + discriminator with a single
+    forward, analog of the reference's ``DummyDualAAE``
+    (``sc/clustering/model.py:665-676``): returns (reconstruction,
+    discriminator output on the latent with beta=0.3)."""
+
+    def __init__(self, use_cnn_dis: bool, cls_encoder, cls_decoder):
+        self.encoder = cls_encoder()
+        self.decoder = cls_decoder()
+        self.discriminator = (DiscriminatorCNN() if use_cnn_dis
+                              else DiscriminatorFC())
+
+    def init(self, rngs, x):
+        import jax.numpy as jnp
+
+        ev = self.encoder.init(rngs, x, train=True)
+        z = self.encoder.apply(ev, x, train=False) if "batch_stats" not in ev \
+            else self.encoder.apply(ev, x, train=False)
+        dv = self.decoder.init(rngs, z, train=True)
+        xv = self.discriminator.init(rngs, z, jnp.float32(0.3), train=True)
+        return {"enc": ev, "dec": dv, "dis": xv}
+
+    def apply(self, variables, x):
+        import jax.numpy as jnp
+
+        z = self.encoder.apply(variables["enc"], x, train=False)
+        x2 = self.decoder.apply(variables["dec"], z, train=False)
+        is_gau = self.discriminator.apply(
+            variables["dis"], z, jnp.float32(0.3), train=False
+        )
+        return x2, is_gau

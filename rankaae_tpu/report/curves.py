@@ -72,3 +72,50 @@ class LossCurvePlotter:
             axs[i].tick_params(axis="both", direction="in")
             axs[i].legend()
         return fig
+
+
+class SpectraVariationEvaluator:
+    """OO wrapper over the decoder style sweep
+    (reference ``analysis_new.py:166-243``)."""
+
+    def __init__(self, n_spec=50, n_sampling=1000, amplitude=2.0):
+        self.n_spec = n_spec
+        self.n_sampling = n_sampling
+        self.amplitude = amplitude
+        self.styles = None
+        self.istyle = None
+        self.model: InferenceModel | None = None
+        self.result = None
+
+    def evaluate(self, istyle: int, true_range: bool = True, seed: int = 0):
+        from rankaae_tpu.report.analysis import plot_spectra_variation
+
+        assert self.model is not None, "set .model (InferenceModel) first"
+        _, spec_out = plot_spectra_variation(
+            self.model, istyle,
+            n_spec=self.n_spec,
+            n_sampling=self.n_sampling or 0,
+            true_range=true_range,
+            styles=self.styles,
+            amplitude=self.amplitude,
+            seed=seed,
+        )
+        self.result = spec_out
+        self.istyle = istyle
+        return spec_out
+
+    def plot(self, ax=None, energy_grid=None):
+        from rankaae_tpu.report.analysis import create_plotly_colormap
+
+        assert self.istyle is not None, "Please evaluate first!"
+        colors = create_plotly_colormap(self.n_spec)
+        fig = None
+        if ax is None:
+            fig, ax = plt.subplots(figsize=(8, 6))
+        for spec, color in zip(self.result, colors):
+            if energy_grid is None:
+                ax.plot(spec, lw=0.8, c=color)
+            else:
+                ax.plot(energy_grid, spec, lw=0.8, c=color)
+        ax.set_title(f"Varying Style #{self.istyle+1}", y=1)
+        return fig

@@ -223,13 +223,17 @@ class RankAAETrainer:
             z_real = jax.random.normal(keys[1], (cfg.batch_size, cfg.nstyle))
 
             def adv_loss(sub):
+                # one encoder forward serves both the adversarial loss and
+                # the reference's dead decode at trainer.py:113-114 (the
+                # decoder stats update rides along as aux, pre-update params)
                 styles, enc_stats = enc_fwd(sub["enc"], stats, spec_in, keys[2])
+                _, dec_stats = dec_fwd(params["dec"], stats, styles, keys[5])
                 real_pred, ds1 = dis_fwd(sub["dis"], stats["dis"], z_real, alpha, keys[3])
                 fake_pred, ds2 = dis_fwd(sub["dis"], ds1, styles, alpha, keys[4])
                 real_pred, fake_pred = real_pred.squeeze(-1), fake_pred.squeeze(-1)
                 loss = bce_with_logits(real_pred, jnp.ones_like(real_pred)) + \
                     bce_with_logits(fake_pred, jnp.zeros_like(fake_pred))
-                return loss, {**stats, "enc": enc_stats, "dis": ds2}
+                return loss, {"enc": enc_stats, "dec": dec_stats, "dis": ds2}
 
             dis_loss, params, stats, opt_adv = self._opt_step(
                 "adversarial", adv_loss, params, opt["adversarial"],
@@ -237,12 +241,13 @@ class RankAAETrainer:
             )
             opt = {**opt, "adversarial": opt_adv}
             gen_loss = jnp.float32(0.0)
-
-            # dead decode at trainer.py:114 — stats-only forward for BN parity
-            styles_tmp, _ = enc_fwd(params["enc"], stats, spec_in, keys[2])
-            _, dec_stats = dec_fwd(params["dec"], stats, styles_tmp, keys[5])
-            stats = {**stats, "dec": dec_stats}
         else:
+            # initial encode+decode side-effect forwards (trainer.py:113-114)
+            styles0, enc_stats0 = enc_fwd(params["enc"], stats, spec_in, keys[2])
+            _, dec_stats0 = dec_fwd(params["dec"], {**stats, "enc": enc_stats0},
+                                    styles0, keys[5])
+            stats = {**stats, "enc": enc_stats0, "dec": dec_stats0}
+
             # D step then G step (trainer.py:128-150).  The reference's label
             # dtypes/losses only type-check for the CNN (2-class log-softmax)
             # discriminator; we implement that protocol and, for the FC
@@ -513,13 +518,20 @@ class RankAAETrainer:
         }
         return state, log
 
-    def run(self, state: TrainState, data: TrialData):
-        """Full training: scan over epochs.  Jittable; vmap over trials."""
+    def run(self, state: TrainState, data: TrialData, start_epoch: int = 0):
+        """Full training: scan over epochs.  Jittable; vmap over trials.
+
+        ``start_epoch`` (static) resumes a checkpointed state partway —
+        a capability the reference lacks entirely (SURVEY.md §5
+        checkpoint/resume row).  Epoch-indexed behavior (alpha ramp,
+        smoothness cutoff, RNG streams) continues exactly where it left off.
+        """
 
         def step(carry, epoch):
             return self.epoch_step(carry, epoch, data)
 
-        state, logs = jax.lax.scan(step, state, jnp.arange(self.cfg.max_epoch))
+        epochs = jnp.arange(start_epoch, self.cfg.max_epoch)
+        state, logs = jax.lax.scan(step, state, epochs)
         return state, logs
 
     # convenience: final metrics in the reference's return format

@@ -60,3 +60,38 @@ def load_model_bundle(path: str) -> Tuple[Dict[str, Any], Dict[str, Any], TrainC
         manifest = json.load(f)
     cfg = TrainConfig(**manifest["config"])
     return payload["params"], payload["batch_stats"], cfg, manifest.get("extra", {})
+
+
+def save_train_state(path: str, state) -> str:
+    """Serialize a full TrainState (params, batch stats, all 7 optimizer
+    moments, plateau schedulers, rng, best tracking) for resume.  The pytree
+    structure is NOT stored — restore against a template from
+    ``RankAAETrainer.init_state`` (same config)."""
+    leaves = jax.tree_util.tree_leaves(state)
+    payload = {str(i): np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    return path
+
+
+def load_train_state(path: str, template):
+    """Restore a TrainState saved by :func:`save_train_state` into the
+    structure of ``template`` (a fresh ``init_state`` of the same config)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    treedef = jax.tree_util.tree_structure(template)
+    t_leaves = jax.tree_util.tree_leaves(template)
+    if len(payload) != len(t_leaves):
+        raise ValueError(
+            f"checkpoint has {len(payload)} leaves, template has "
+            f"{len(t_leaves)} — config mismatch?"
+        )
+    leaves = [payload[str(i)] for i in range(len(t_leaves))]
+    for got, want in zip(leaves, t_leaves):
+        if tuple(got.shape) != tuple(np.shape(want)):
+            raise ValueError(
+                f"leaf shape mismatch: checkpoint {got.shape} vs template "
+                f"{np.shape(want)} — config mismatch?"
+            )
+    return jax.tree_util.tree_unflatten(treedef, leaves)
