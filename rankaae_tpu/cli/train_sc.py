@@ -88,11 +88,19 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0):
         )
         # net-new: the true best (min combined metric) — the reference's
         # best.pt gate is dead code (SURVEY.md §2.4 / trainer docstring)
+        best_extra = {"best_epoch": tr["best_epoch"], "best_combined": tr["best_combined"]}
         save_model_bundle(
             os.path.join(job_dir, "best_tracked.mpk"),
-            tr["best_params"], tr["best_batch_stats"], cfg,
-            extra={"best_epoch": tr["best_epoch"], "best_combined": tr["best_combined"]},
+            tr["best_params"], tr["best_batch_stats"], cfg, extra=best_extra,
         )
+        # reference checkpoint-directory layout (trainer.py:77,300):
+        # checkpoints/epoch_<e>_loss_<combined>.<ext>
+        chkpt = os.path.join(
+            job_dir, "checkpoints",
+            f"epoch_{tr['best_epoch']:06d}_loss_{tr['best_combined']:07.6g}.mpk",
+        )
+        save_model_bundle(chkpt, tr["best_params"], tr["best_batch_stats"], cfg,
+                          extra=best_extra)
         job_logger.info(list(np.round(tr["final_metrics"], 6)))
         job_logger.info(
             f"Training finished. Time used: {total:.2f}s (concurrent with all trials).\n\n"

@@ -75,15 +75,59 @@ def run_trials(
     n_trials: Optional[int] = None,
     seed: int = 0,
     mesh: Optional[Mesh] = None,
+    max_resident_per_device: float = 64,
 ) -> TrialResults:
     """Train ``n_trials`` independent trials concurrently across the mesh.
 
     Equivalent of the reference's load-balanced ``map_sync(run_training,
     range(trials))`` (``train_sc.py:134-143``) — as one compiled program.
+
+    When ``n_trials`` exceeds ``max_resident_per_device * n_devices`` the
+    trials run in sequential waves (same compiled program, fresh RNG lanes)
+    to bound HBM — the analog of the reference's task queue when trials >
+    engines.
     """
     n_trials = cfg.trials if n_trials is None else n_trials
     if mesh is None:
         mesh = trial_mesh()
+    n_dev = mesh.devices.size
+
+    max_wave = max(1, int(max_resident_per_device * n_dev))
+    if n_trials > max_wave:
+        waves = []
+        done = 0
+        while done < n_trials:
+            take = min(max_wave, n_trials - done)
+            waves.append(_run_wave(cfg, data, take, seed + done, mesh))
+            done += take
+        return _concat_results(waves)
+    return _run_wave(cfg, data, n_trials, seed, mesh)
+
+
+def _concat_results(waves):
+    cat = lambda trees: jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *trees
+    )
+    return TrialResults(
+        n_trials=sum(w.n_trials for w in waves),
+        final_params=cat([w.final_params for w in waves]),
+        final_batch_stats=cat([w.final_batch_stats for w in waves]),
+        best_params=cat([w.best_params for w in waves]),
+        best_batch_stats=cat([w.best_batch_stats for w in waves]),
+        best_epoch=np.concatenate([w.best_epoch for w in waves]),
+        best_combined=np.concatenate([w.best_combined for w in waves]),
+        logs=cat([w.logs for w in waves]),
+        final_metrics=np.concatenate([w.final_metrics for w in waves]),
+    )
+
+
+def _run_wave(
+    cfg: TrainConfig,
+    data: TrialData,
+    n_trials: int,
+    seed: int,
+    mesh: Mesh,
+) -> TrialResults:
     n_dev = mesh.devices.size
     t_pad = -(-n_trials // n_dev) * n_dev   # pad to a multiple of the mesh
 

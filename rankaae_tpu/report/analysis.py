@@ -308,10 +308,15 @@ def sort_all_models(result_dict, sort_score=None, plot_score=False, ascending=Tr
 
     jobs = np.array(jobs)
     scores = np.array(scores, dtype=float)
-    mu_std = np.stack((scores.mean(axis=0), scores.std(axis=0)), axis=1)
+    # failure masking (net-new; SURVEY.md §5 failure-detection row): a trial
+    # that diverged to NaN/inf must rank last, not poison the z-scores
+    failed = ~np.isfinite(scores).all(axis=1)
+    finite = scores[~failed] if (~failed).any() else np.zeros((1, scores.shape[1]))
+    mu_std = np.stack((finite.mean(axis=0), finite.std(axis=0)), axis=1)
     with np.errstate(invalid="ignore", divide="ignore"):
         z_scores = (scores - mu_std[:, 0]) / mu_std[:, 1]
     z_scores[:, mu_std[:, 1] == 0] = 0
+    z_scores[failed] = 0
 
     if callable(sort_score):
         final_score = sort_score(z_scores)
@@ -320,6 +325,9 @@ def sort_all_models(result_dict, sort_score=None, plot_score=False, ascending=Tr
     else:
         final_score = np.arange(len(scores))
 
+    final_score = np.where(np.isfinite(final_score), final_score, -np.inf)
+    if failed.any():
+        final_score = np.where(failed, -np.inf, final_score)
     rank = np.argsort(final_score)
     if (sort_score is not None) and (not ascending):
         rank = rank[::-1]
