@@ -34,7 +34,8 @@ def _timeout_handler(signum, frame):
     raise TimeoutError("Training Overtime!")
 
 
-def train_from_config(work_dir: str, params: Parameters, seed: int = 0):
+def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
+                      checkpoint_every=None, resume: bool = False):
     """Run the full multi-trial training + artifact dump. Returns TrialResults."""
     cfg = TrainConfig.from_parameters(params)
     logger = create_logger(
@@ -65,8 +66,12 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0):
         signal.signal(signal.SIGALRM, _timeout_handler)
         signal.alarm(timeout_s)
     start = time.time()
+    checkpoint_dir = os.path.join(work_dir, "train_state") \
+        if (checkpoint_every or resume) else None
     try:
-        results = run_trials(cfg, data, seed=seed)
+        results = run_trials(cfg, data, seed=seed,
+                             checkpoint_every=checkpoint_every,
+                             checkpoint_dir=checkpoint_dir)
     finally:
         if timeout_s > 0 and hasattr(signal, "SIGALRM"):
             signal.alarm(0)
@@ -131,6 +136,10 @@ def main(argv=None):
                              "always-on autograd anomaly detection)")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Write a jax.profiler trace of the training run")
+    parser.add_argument("--checkpoint-every", type=int, default=None,
+                        help="Save resumable training state every N epochs")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from <work_dir>/train_state if present")
     args = parser.parse_args(argv)
 
     work_dir = os.path.abspath(os.path.expanduser(args.work_dir))
@@ -142,7 +151,9 @@ def main(argv=None):
     if args.debug_nans:
         enable_nan_debugging(True)
     with trace(args.profile_dir, label="train_sc"):
-        train_from_config(work_dir, params, seed=args.seed)
+        train_from_config(work_dir, params, seed=args.seed,
+                          checkpoint_every=args.checkpoint_every,
+                          resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -76,6 +76,8 @@ def run_trials(
     seed: int = 0,
     mesh: Optional[Mesh] = None,
     max_resident_per_device: float = 64,
+    checkpoint_every: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> TrialResults:
     """Train ``n_trials`` independent trials concurrently across the mesh.
 
@@ -94,6 +96,11 @@ def run_trials(
 
     max_wave = max(1, int(max_resident_per_device * n_dev))
     if n_trials > max_wave:
+        if checkpoint_dir is not None:
+            raise NotImplementedError(
+                "mid-run checkpointing is supported for a single resident "
+                "wave; raise max_resident_per_device or lower trials"
+            )
         waves = []
         done = 0
         while done < n_trials:
@@ -101,7 +108,9 @@ def run_trials(
             waves.append(_run_wave(cfg, data, take, seed + done, mesh))
             done += take
         return _concat_results(waves)
-    return _run_wave(cfg, data, n_trials, seed, mesh)
+    return _run_wave(cfg, data, n_trials, seed, mesh,
+                     checkpoint_every=checkpoint_every,
+                     checkpoint_dir=checkpoint_dir)
 
 
 def _concat_results(waves):
@@ -127,7 +136,17 @@ def _run_wave(
     n_trials: int,
     seed: int,
     mesh: Mesh,
+    checkpoint_every: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> TrialResults:
+    """One resident wave of trials; optionally segmented with mid-run
+    checkpoints (``checkpoint_every`` epochs) that ``resume_trials`` can
+    restart from — fault tolerance the reference lacks (SURVEY.md §5)."""
+    import json
+    import os
+
+    from rankaae_tpu.utils.checkpoint import load_train_state, save_train_state
+
     n_dev = mesh.devices.size
     t_pad = -(-n_trials // n_dev) * n_dev   # pad to a multiple of the mesh
 
@@ -143,14 +162,50 @@ def _run_wave(
     def init_all(keys):
         return jax.vmap(trainer.init_state)(keys)
 
-    states = jax.device_put(init_all(keys), trial_sharding)
+    start_epoch = 0
+    states = init_all(keys)
+    if checkpoint_dir:
+        progress_fn = os.path.join(checkpoint_dir, "progress.json")
+        state_fn = os.path.join(checkpoint_dir, "trial_state.mpk")
+        if os.path.exists(progress_fn) and os.path.exists(state_fn):
+            with open(progress_fn) as f:
+                progress = json.load(f)
+            if progress.get("n_trials") == n_trials and progress.get("seed") == seed:
+                states = load_train_state(state_fn, states)
+                start_epoch = int(progress["epoch"])
+    states = jax.device_put(states, trial_sharding)
     data = jax.device_put(data, replicated)
 
-    run = jax.jit(
-        jax.vmap(trainer.run, in_axes=(0, None)),
+    run_seg = jax.jit(
+        jax.vmap(trainer.run_epochs, in_axes=(0, None, None)),
         donate_argnums=(0,),
     )
-    states, logs = run(states, data)
+
+    if start_epoch >= cfg.max_epoch:
+        raise ValueError(
+            f"checkpoint in {checkpoint_dir} is already complete "
+            f"(epoch {start_epoch} >= max_epoch {cfg.max_epoch})"
+        )
+    seg = checkpoint_every or (cfg.max_epoch - start_epoch)
+    log_parts = []
+    e0 = start_epoch
+    while e0 < cfg.max_epoch:
+        e1 = min(e0 + seg, cfg.max_epoch)
+        states, seg_logs = run_seg(states, data, jnp.arange(e0, e1))
+        log_parts.append(jax.tree_util.tree_map(np.asarray, seg_logs))
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            save_train_state(os.path.join(checkpoint_dir, "trial_state.mpk"), states)
+            with open(os.path.join(checkpoint_dir, "progress.json"), "w") as f:
+                json.dump({"epoch": e1, "n_trials": n_trials, "seed": seed}, f)
+        e0 = e1
+
+    if len(log_parts) == 1:
+        logs = log_parts[0]
+    else:
+        logs = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=1), *log_parts
+        )
 
     # gather to host, drop padding lanes
     host = lambda tree: jax.tree_util.tree_map(

@@ -518,6 +518,16 @@ class RankAAETrainer:
         }
         return state, log
 
+    def run_epochs(self, state: TrainState, data: TrialData, epochs):
+        """Scan over an explicit (traced) array of epoch indices — the
+        building block for full runs, resume, and segmented checkpointing.
+        Same-shaped ``epochs`` arrays share one compilation."""
+
+        def step(carry, epoch):
+            return self.epoch_step(carry, epoch, data)
+
+        return jax.lax.scan(step, state, epochs)
+
     def run(self, state: TrainState, data: TrialData, start_epoch: int = 0):
         """Full training: scan over epochs.  Jittable; vmap over trials.
 
@@ -526,13 +536,9 @@ class RankAAETrainer:
         checkpoint/resume row).  Epoch-indexed behavior (alpha ramp,
         smoothness cutoff, RNG streams) continues exactly where it left off.
         """
-
-        def step(carry, epoch):
-            return self.epoch_step(carry, epoch, data)
-
-        epochs = jnp.arange(start_epoch, self.cfg.max_epoch)
-        state, logs = jax.lax.scan(step, state, epochs)
-        return state, logs
+        return self.run_epochs(
+            state, data, jnp.arange(start_epoch, self.cfg.max_epoch)
+        )
 
     # convenience: final metrics in the reference's return format
     @staticmethod

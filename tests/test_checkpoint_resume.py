@@ -1,0 +1,93 @@
+"""Segmented mid-run checkpointing and resume through run_trials."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rankaae_tpu.parallel.trials import run_trials
+from rankaae_tpu.train.trainer import TrialData
+from tests.test_trainer import _tiny_cfg
+
+
+@pytest.fixture()
+def small_data():
+    rng = np.random.default_rng(9)
+    spec = rng.normal(size=(256, 64)).astype(np.float32)
+    aux = rng.normal(size=(256, 5)).astype(np.float32)
+    return TrialData(
+        train_spec=jnp.asarray(spec[:192]), train_aux=jnp.asarray(aux[:192]),
+        val_spec=jnp.asarray(spec[192:]), val_aux=jnp.asarray(aux[192:]),
+    )
+
+
+def test_segmented_run_matches_plain_run(small_data, tmp_path):
+    cfg = _tiny_cfg(max_epoch=6)
+    plain = run_trials(cfg, small_data, n_trials=2, seed=5)
+    seg = run_trials(cfg, small_data, n_trials=2, seed=5,
+                     checkpoint_every=2, checkpoint_dir=str(tmp_path / "ck"))
+    np.testing.assert_allclose(
+        plain.logs["val_recon"], seg.logs["val_recon"], rtol=1e-4
+    )
+    # checkpoint artifacts exist and record completion
+    with open(tmp_path / "ck" / "progress.json") as f:
+        progress = json.load(f)
+    assert progress["epoch"] == 6
+    assert os.path.exists(tmp_path / "ck" / "trial_state.mpk")
+
+
+def test_resume_from_partial_checkpoint(small_data, tmp_path):
+    """Simulate a crash mid-run: the checkpoint from a truncated run must
+    resume into the same final state a continuous run reaches."""
+    ckdir = str(tmp_path / "ck2")
+    # alpha ramp saturates instantly (alpha_flat_step -> 0) so the GRL
+    # strength trajectory is independent of max_epoch — letting us simulate
+    # a crash by training with a truncated max_epoch
+    cfg = _tiny_cfg(max_epoch=6, alpha_flat_step=1e-9)
+
+    # continuous run for the target trajectory
+    full = run_trials(cfg, small_data, n_trials=2, seed=5)
+
+    # "crashed" run: train only epochs [0, 4) by lying about max_epoch,
+    # writing a checkpoint every 2 epochs
+    cfg_short = _tiny_cfg(max_epoch=4, alpha_flat_step=1e-9)
+    run_trials(cfg_short, small_data, n_trials=2, seed=5,
+               checkpoint_every=2, checkpoint_dir=ckdir)
+
+    # resume the real config from the same checkpoint dir: picks up at 4
+    resumed = run_trials(cfg, small_data, n_trials=2, seed=5,
+                         checkpoint_every=2, checkpoint_dir=ckdir)
+    assert resumed.logs["val_recon"].shape == (2, 2)  # epochs 4, 5 only
+    np.testing.assert_allclose(
+        resumed.logs["val_recon"], full.logs["val_recon"][:, 4:], rtol=1e-4
+    )
+    # final params identical to the continuous run
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(full.final_params),
+                    jax.tree_util.tree_leaves(resumed.final_params)):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_completed_checkpoint_raises(small_data, tmp_path):
+    ckdir = str(tmp_path / "ck3")
+    cfg = _tiny_cfg(max_epoch=2)
+    run_trials(cfg, small_data, n_trials=2, seed=5,
+               checkpoint_every=2, checkpoint_dir=ckdir)
+    with pytest.raises(ValueError, match="already complete"):
+        run_trials(cfg, small_data, n_trials=2, seed=5,
+                   checkpoint_every=2, checkpoint_dir=ckdir)
+
+
+def test_mismatched_checkpoint_ignored(small_data, tmp_path):
+    """A checkpoint from a different seed/trial-count must not be loaded."""
+    ckdir = str(tmp_path / "ck4")
+    cfg = _tiny_cfg(max_epoch=3)
+    run_trials(cfg, small_data, n_trials=2, seed=5,
+               checkpoint_every=1, checkpoint_dir=ckdir)
+    # different seed: starts fresh (all 3 epochs of logs)
+    res = run_trials(cfg, small_data, n_trials=2, seed=6,
+                     checkpoint_every=1, checkpoint_dir=ckdir)
+    assert res.logs["val_recon"].shape == (2, 3)
