@@ -7,8 +7,7 @@ config and exposes jitted eval-mode ``encode``/``decode``/``discriminate``.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

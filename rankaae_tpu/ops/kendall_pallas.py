@@ -36,10 +36,6 @@ _TB = 256  # row-block size (sublane dim of the (TB, B) pair tile)
 _INTERPRET = False  # flipped by tests to run the kernels on CPU
 
 
-def _round_up(x, m):
-    return -(-x // m) * m
-
-
 def _onehot_col(block, k, n_col):
     """Extract column k of a (R, K) block as (R, 1) without dynamic lane
     indexing (unsupported strided load): one-hot mask + lane reduce."""

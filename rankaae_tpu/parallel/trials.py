@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from rankaae_tpu.train.trainer import RankAAETrainer, TrainState, TrialData
+from rankaae_tpu.train.trainer import RankAAETrainer, TrialData
 from rankaae_tpu.utils.config import TrainConfig
 
 
