@@ -228,9 +228,16 @@ class RankAAETrainer:
                 _, dec_stats = dec_fwd(params["dec"], stats, styles, keys[5])
                 real_pred, ds1 = dis_fwd(sub["dis"], stats["dis"], z_real, alpha, keys[3])
                 fake_pred, ds2 = dis_fwd(sub["dis"], ds1, styles, alpha, keys[4])
-                real_pred, fake_pred = real_pred.squeeze(-1), fake_pred.squeeze(-1)
-                loss = bce_with_logits(real_pred, jnp.ones_like(real_pred)) + \
-                    bce_with_logits(fake_pred, jnp.zeros_like(fake_pred))
+                if cfg.use_cnn_discriminator:
+                    # 2-class log-softmax head: NLL objective (the reference's
+                    # GRL+CNN combination is type-broken upstream — BCE against
+                    # (B, 2) log-probs; PARITY.md faithful-bug ledger)
+                    loss = nll_loss(real_pred, jnp.ones(real_pred.shape[0], jnp.int32)) + \
+                        nll_loss(fake_pred, jnp.zeros(fake_pred.shape[0], jnp.int32))
+                else:
+                    real_p, fake_p = real_pred.squeeze(-1), fake_pred.squeeze(-1)
+                    loss = bce_with_logits(real_p, jnp.ones_like(real_p)) + \
+                        bce_with_logits(fake_p, jnp.zeros_like(fake_p))
                 return loss, {"enc": enc_stats, "dec": dec_stats, "dis": ds2}
 
             dis_loss, params, stats, opt_adv = self._opt_step(
@@ -408,11 +415,15 @@ class RankAAETrainer:
 
         if cfg.gradient_reversal:
             z_real = jax.random.normal(k2, (cfg.batch_size, cfg.nstyle))
-            rp = d_eval(z_real, alpha).squeeze(-1)
-            fp = d_eval(z, alpha).squeeze(-1)
-            dis_v = bce_with_logits(rp, jnp.ones_like(rp)) + bce_with_logits(
-                fp, jnp.zeros_like(fp)
-            )
+            rp = d_eval(z_real, alpha)
+            fp = d_eval(z, alpha)
+            if cfg.use_cnn_discriminator:
+                dis_v = nll_loss(rp, jnp.ones(rp.shape[0], jnp.int32)) + \
+                    nll_loss(fp, jnp.zeros(fp.shape[0], jnp.int32))
+            else:
+                rp1, fp1 = rp.squeeze(-1), fp.squeeze(-1)
+                dis_v = bce_with_logits(rp1, jnp.ones_like(rp1)) + \
+                    bce_with_logits(fp1, jnp.zeros_like(fp1))
             gen_v = jnp.float32(0.0)
         else:
             z_real = jax.random.normal(k2, (self.n_val, cfg.nstyle))
