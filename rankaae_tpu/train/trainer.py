@@ -226,16 +226,25 @@ class RankAAETrainer:
                 # decoder stats update rides along as aux, pre-update params)
                 styles, enc_stats = enc_fwd(sub["enc"], stats, spec_in, keys[2])
                 _, dec_stats = dec_fwd(params["dec"], stats, styles, keys[5])
-                real_pred, ds1 = dis_fwd(sub["dis"], stats["dis"], z_real, alpha, keys[3])
-                fake_pred, ds2 = dis_fwd(sub["dis"], ds1, styles, alpha, keys[4])
                 if cfg.use_cnn_discriminator:
-                    # 2-class log-softmax head: NLL objective (the reference's
-                    # GRL+CNN combination is type-broken upstream — BCE against
-                    # (B, 2) log-probs; PARITY.md faithful-bug ledger)
+                    # BN inside the CNN discriminator: the two forwards must
+                    # stay sequential (real updates stats seen by fake, as in
+                    # torch).  2-class log-softmax head -> NLL objective (the
+                    # reference's GRL+CNN combination is type-broken upstream:
+                    # BCE against (B, 2) log-probs; PARITY.md ledger)
+                    real_pred, ds1 = dis_fwd(sub["dis"], stats["dis"], z_real,
+                                             alpha, keys[3])
+                    fake_pred, ds2 = dis_fwd(sub["dis"], ds1, styles, alpha, keys[4])
                     loss = nll_loss(real_pred, jnp.ones(real_pred.shape[0], jnp.int32)) + \
                         nll_loss(fake_pred, jnp.zeros(fake_pred.shape[0], jnp.int32))
                 else:
-                    real_p, fake_p = real_pred.squeeze(-1), fake_pred.squeeze(-1)
+                    # FC discriminator is BN-free: one fused (2B, nstyle)
+                    # forward replaces two dispatches — identical loss (mean
+                    # over each half computed separately) and gradients
+                    both = jnp.concatenate([z_real, styles], axis=0)
+                    pred, ds2 = dis_fwd(sub["dis"], stats["dis"], both, alpha, keys[3])
+                    real_p = pred[: cfg.batch_size].squeeze(-1)
+                    fake_p = pred[cfg.batch_size:].squeeze(-1)
                     loss = bce_with_logits(real_p, jnp.ones_like(real_p)) + \
                         bce_with_logits(fake_p, jnp.zeros_like(fake_p))
                 return loss, {"enc": enc_stats, "dec": dec_stats, "dis": ds2}
