@@ -57,3 +57,26 @@ def test_cnn_discriminator_trains(conv_data, gradient_reversal):
     if not gradient_reversal:
         # the non-GRL path uses the 2-class NLL objective for the CNN disc
         assert int(state.opt["discriminator"].count) > 0
+
+
+def test_qved_form_trains(rng):
+    """The q-vector family (12-dim inputs, reference model.py:298-327,477-515)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rankaae_tpu.train.trainer import RankAAETrainer, TrialData
+
+    n = 128
+    aux = rng.normal(size=(n, 5)).astype(np.float32)
+    qvec = (aux @ rng.normal(size=(5, 12)).astype(np.float32)
+            + rng.normal(size=(n, 12)).astype(np.float32) * 0.1)
+    data = TrialData(
+        train_spec=jnp.asarray(qvec[:96]), train_aux=jnp.asarray(aux[:96]),
+        val_spec=jnp.asarray(qvec[96:]), val_aux=jnp.asarray(aux[96:]),
+    )
+    cfg = _tiny_cfg(ae_form="qved", dim_in=12, dim_out=12, max_epoch=2,
+                    batch_size=32, epoch_stop_smooth=2)
+    trainer = RankAAETrainer(cfg, 96, 32)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, logs = jax.jit(trainer.run)(state, data)
+    assert np.all(np.isfinite(np.asarray(logs["val_recon"])))

@@ -127,3 +127,20 @@ def test_losses_csv_parses_with_reference_loss_curve_plotter(work_dir):
     assert df.shape[1] == 13
     assert "Train_Mutual_Info" in df.columns
     assert df["Epoch"].tolist() == [0, 10]
+
+
+def test_plot_job_short_circuits_selection(work_dir):
+    """plot_job config key skips model selection and reports one job
+    (reference generate_report.py:248-251)."""
+    import yaml
+
+    cfg = yaml.safe_load(open(os.path.join(work_dir, "fix_config.yaml")))
+    cfg["plot_job"] = "job_2"
+    cfg["n_sampling"] = 0   # also exercise the zeros (non-MC) decoder sweep
+    with open(os.path.join(work_dir, "plot_job_config.yaml"), "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from rankaae_tpu.cli.generate_report import main
+
+    main(["-c", "plot_job_config.yaml", "-w", work_dir])
+    assert os.path.exists(os.path.join(work_dir, "report_job_2.png"))
