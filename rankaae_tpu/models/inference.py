@@ -4,9 +4,15 @@ The report layer's analog of the reference's pickled-module dict
 (``torch.load(final.pt)`` -> {"Encoder", "Decoder", "Style Discriminator"},
 ``sc/report/analysis.py:117-121``): rebuilds the Flax modules from the saved
 config and exposes jitted eval-mode ``encode``/``decode``/``discriminate``.
+
+Compiled appliers are cached per config, with parameters passed as call
+arguments — evaluating N trained trials of the same architecture (the
+report stage loads every ``job_*/final.mpk``) compiles each forward ONCE,
+not N times.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict
 
 import jax
@@ -18,6 +24,19 @@ from rankaae_tpu.utils.checkpoint import load_model_bundle
 from rankaae_tpu.utils.config import TrainConfig
 
 
+@functools.lru_cache(maxsize=None)
+def _appliers(cfg: TrainConfig):
+    """Per-config jitted eval forwards taking variables as arguments (shared
+    across all InferenceModel instances of that config)."""
+    encoder, decoder = build_autoencoder(cfg)
+    discriminator = build_discriminator(cfg)
+    return {
+        "enc": jax.jit(lambda v, x: encoder.apply(v, x, train=False)),
+        "dec": jax.jit(lambda v, z: decoder.apply(v, z, train=False)),
+        "dis": jax.jit(lambda v, z: discriminator.apply(v, z, None, train=False)),
+    }
+
+
 class InferenceModel:
     """Jitted eval-mode forward passes for a trained (encoder, decoder,
     discriminator) triple."""
@@ -27,36 +46,26 @@ class InferenceModel:
         self.cfg = cfg
         self.params = params
         self.batch_stats = batch_stats
-        self.encoder, self.decoder = build_autoencoder(cfg)
-        self.discriminator = build_discriminator(cfg)
         self.nstyle = cfg.nstyle
+        self._fns = _appliers(cfg)
 
-        def _vars(role, module):
-            v = {"params": params[role]}
-            if batch_stats.get(role):
-                v["batch_stats"] = batch_stats[role]
-            return v
-
-        self._encode = jax.jit(
-            lambda x: self.encoder.apply(_vars("enc", self.encoder), x, train=False)
-        )
-        self._decode = jax.jit(
-            lambda z: self.decoder.apply(_vars("dec", self.decoder), z, train=False)
-        )
-        if params.get("dis"):
-            self._discriminate = jax.jit(
-                lambda z: self.discriminator.apply(
-                    _vars("dis", self.discriminator), z, None, train=False
-                )
-            )
-        else:
-            # imported legacy checkpoints may lack a convertible discriminator
-            self._discriminate = None
+    def _vars(self, role):
+        v = {"params": self.params[role]}
+        if self.batch_stats.get(role):
+            v["batch_stats"] = self.batch_stats[role]
+        return v
 
     @classmethod
     def from_bundle(cls, path: str) -> "InferenceModel":
         params, batch_stats, cfg, _ = load_model_bundle(path)
         return cls(params, batch_stats, cfg)
+
+    # raw jnp-returning appliers (used by the batched serving path)
+    def _encode(self, x):
+        return self._fns["enc"](self._vars("enc"), x)
+
+    def _decode(self, z):
+        return self._fns["dec"](self._vars("dec"), z)
 
     def encode(self, spec) -> np.ndarray:
         return np.asarray(self._encode(jnp.asarray(spec, jnp.float32)))
@@ -65,6 +74,7 @@ class InferenceModel:
         return np.asarray(self._decode(jnp.asarray(z, jnp.float32)))
 
     def discriminate(self, z) -> np.ndarray:
-        if self._discriminate is None:
+        if not self.params.get("dis"):
             raise ValueError("this bundle has no discriminator parameters")
-        return np.asarray(self._discriminate(jnp.asarray(z, jnp.float32)))
+        return np.asarray(self._fns["dis"](self._vars("dis"),
+                                           jnp.asarray(z, jnp.float32)))
