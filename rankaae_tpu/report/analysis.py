@@ -108,19 +108,54 @@ def plot_spectra_variation(
     return style_variation, spec_out
 
 
+def _f1_threshold_scan(style, positive, thresh_grid, direction):
+    """Vectorized F1(threshold) for predictions ``style < th`` (direction
+    "lt") or ``style > th`` ("gt") against a boolean ``positive`` mask.
+
+    Equivalent to looping sklearn ``f1_score(pred(th), positive,
+    zero_division=0)`` over the grid (the reference computes 700 x 2 such
+    scores per model through the Python/sklearn path,
+    ``analysis.py:250-251``); this is O(n log n + T) with cumulative counts.
+    Note the reference's argument order makes ``pred`` the sklearn
+    ``y_true`` — F1 is symmetric in TP but swaps FP/FN; matched exactly.
+    """
+    order = np.argsort(style, kind="stable")
+    sorted_style = style[order]
+    cum_pos = np.concatenate([[0], np.cumsum(positive[order])])
+    total_pos = int(positive.sum())
+    # number of samples with style < th
+    counts = np.searchsorted(sorted_style, thresh_grid, side="left")
+    tp_lt = cum_pos[counts]                     # positive & (style < th)
+    if direction == "lt":
+        tp = tp_lt
+        pred_n = counts
+    else:
+        # side="right" counts style <= th, so the complement is style > th
+        counts_le = np.searchsorted(sorted_style, thresh_grid, side="right")
+        tp = total_pos - cum_pos[counts_le]
+        pred_n = len(style) - counts_le
+    fp = pred_n - tp
+    fn = total_pos - tp
+    denom = 2 * tp + fp + fn
+    with np.errstate(invalid="ignore", divide="ignore"):
+        f1 = np.where(denom > 0, 2 * tp / np.maximum(denom, 1), 0.0)
+    return f1
+
+
 def get_confusion_matrix(cn, style_cn, ax=None) -> Optional[Dict]:
     """CN classifier from one style: scan 700 thresholds in [-3.5, 3.5] for
     the max-F1 CN4/5 and CN5/6 splits; weighted F1 + 3x3 confusion matrix
     (reference ``analysis.py:234-311``)."""
     result = {"F1 score": None, "CN45 Threshold": None, "CN56 Threshold": None}
     thresh_grid = np.linspace(-3.5, 3.5, 700)
+    style_cn = np.asarray(style_cn)
     cn_classes = (np.asarray(cn) - 4).astype(int)
     cn_class_sets = sorted(set(cn_classes.tolist()))
     if len(cn_class_sets) > 3:  # descriptor is not CN-like (noise)
         return None
 
-    cn4_f1 = [f1_score(style_cn < th, cn_classes < 1, zero_division=0) for th in thresh_grid]
-    cn6_f1 = [f1_score(style_cn > th, cn_classes > 1, zero_division=0) for th in thresh_grid]
+    cn4_f1 = _f1_threshold_scan(style_cn, cn_classes < 1, thresh_grid, "lt")
+    cn6_f1 = _f1_threshold_scan(style_cn, cn_classes > 1, thresh_grid, "gt")
     cn45 = thresh_grid[int(np.argmax(cn4_f1))]
     cn56 = thresh_grid[int(np.argmax(cn6_f1))]
 

@@ -66,3 +66,21 @@ def tiny_data_import():
         train_spec=jnp.asarray(spec[:192]), train_aux=jnp.asarray(aux[:192]),
         val_spec=jnp.asarray(spec[192:]), val_aux=jnp.asarray(aux[192:]),
     )
+
+
+def test_f1_threshold_scan_matches_sklearn(rng):
+    """The vectorized scan must equal the reference's sklearn loop exactly
+    (same quirky argument order: prediction passed as sklearn y_true)."""
+    from sklearn.metrics import f1_score
+
+    from rankaae_tpu.report.analysis import _f1_threshold_scan
+
+    style = rng.normal(size=300)
+    classes = rng.choice([0, 1, 2], 300)
+    grid = np.linspace(-3.5, 3.5, 97)
+    ref_lt = np.array([f1_score(style < th, classes < 1, zero_division=0) for th in grid])
+    ref_gt = np.array([f1_score(style > th, classes > 1, zero_division=0) for th in grid])
+    np.testing.assert_allclose(_f1_threshold_scan(style, classes < 1, grid, "lt"),
+                               ref_lt, atol=1e-12)
+    np.testing.assert_allclose(_f1_threshold_scan(style, classes > 1, grid, "gt"),
+                               ref_gt, atol=1e-12)
