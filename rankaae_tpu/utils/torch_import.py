@@ -89,18 +89,134 @@ def _count_fc_layers(seq) -> int:
     return sum(1 for m in seq if isinstance(m, tnn.Linear))
 
 
+def _conv_params(tconv):
+    return {"weight": _t2n(tconv.weight), "bias": _t2n(tconv.bias)}
+
+
+def _linear_params(tlin):
+    return {"kernel": _t2n(tlin.weight).T, "bias": _t2n(tlin.bias)}
+
+
+def _prelu_params(tprelu):
+    return {"alpha": _t2n(tprelu.weight)}
+
+
+def _bn_stats(tbn):
+    return {"mean": _t2n(tbn.running_mean), "var": _t2n(tbn.running_var)}
+
+
+def _convert_coding_block(tblock):
+    """Reference EncodingBlock/DecodingBlock -> (params, stats) in our
+    blocks' naming (``rankaae_tpu.models.blocks``)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    if tblock.bn1 is not None:
+        stats["bn1"] = _bn_stats(tblock.bn1)
+    params["conv1"] = _conv_params(tblock.conv1)
+    params["relu1"] = _prelu_params(tblock.relu1)
+    stats["bn2"] = _bn_stats(tblock.bn2)
+    params["conv2"] = _conv_params(tblock.conv2)
+    params["relu2"] = _prelu_params(tblock.relu2)
+    if tblock.conv_short is not None:
+        params["conv_short"] = _conv_params(tblock.conv_short)
+        params["relu_short"] = _prelu_params(tblock.relu_short)
+    params["fc1"] = _linear_params(tblock.fc1)
+    params["relu_excit_1"] = _prelu_params(tblock.relu_excit_1)
+    params["fc2"] = _linear_params(tblock.fc2)
+    params["relu_excit_2"] = _prelu_params(tblock.relu_excit_2)
+    if tblock.conv_excit is not None:
+        stats["bn_excit"] = _bn_stats(tblock.bn_excit)
+        params["conv_excit"] = _conv_params(tblock.conv_excit)
+        params["relu_excit_3"] = _prelu_params(tblock.relu_excit_3)
+    return params, stats
+
+
+def _convert_conv_encoder(enc):
+    """Reference Encoder/CompactEncoder -> our params/stats naming."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i, tblock in enumerate(enc.main):
+        p, st = _convert_coding_block(tblock)
+        params[f"block{i}"] = p
+        stats[f"block{i}"] = st
+    params["lin3"] = _linear_params(enc.lin3)
+    stats["bn_style"] = _bn_stats(enc.bn_style)
+    nstyle = enc.lin3.out_features
+    return params, stats, nstyle
+
+
+def _convert_conv_decoder(dec):
+    """Reference Decoder/CompactDecoder -> our params/stats naming.
+
+    The torch module is one Sequential of DecodingBlocks, EncodingBlocks,
+    a BatchNorm1d, a 1x1 Conv1d and the activation; ours names them
+    dblock<i>/eblock<i>/bn_out/conv_out.
+    """
+    import torch.nn as tnn
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    d = e = 0
+    act_name = "ReLu"
+    for m in dec.main:
+        cls = m.__class__.__name__
+        if cls == "DecodingBlock":
+            p, st = _convert_coding_block(m)
+            params[f"dblock{d}"] = p
+            stats[f"dblock{d}"] = st
+            d += 1
+        elif cls == "EncodingBlock":
+            p, st = _convert_coding_block(m)
+            params[f"eblock{e}"] = p
+            stats[f"eblock{e}"] = st
+            e += 1
+        elif isinstance(m, tnn.BatchNorm1d):
+            stats["bn_out"] = _bn_stats(m)
+        elif isinstance(m, tnn.Conv1d):
+            params["conv_out"] = _conv_params(m)
+        elif cls == "Softplus":
+            act_name = "Softplus"
+    return params, stats, act_name
+
+
 def convert_reference_model(model: Dict[str, Any]) -> Tuple[Dict, Dict, TrainConfig]:
     """Convert a loaded reference checkpoint dict into
-    (params, batch_stats, cfg) in our format.  FC family only (the shipped
-    configuration; conv forms can be added on demand)."""
+    (params, batch_stats, cfg) in our format.  Supports the FC family (the
+    shipped configuration and all committed fixtures) and the conv
+    "normal"/"compact" families."""
     import torch.nn as tnn
 
     enc, dec = model["Encoder"], model["Decoder"]
     dis = model.get("Style Discriminator")
 
-    if enc.__class__.__name__ != "FCEncoder":
+    enc_cls = enc.__class__.__name__
+    if enc_cls in ("Encoder", "CompactEncoder"):
+        enc_params, enc_stats, nstyle = _convert_conv_encoder(enc)
+        dec_params, dec_stats, act = _convert_conv_decoder(dec)
+        dis_params: Dict[str, Any] = {}
+        fc_dis_layers = 3
+        if dis is not None and dis.__class__.__name__ == "DiscriminatorFC":
+            converted, layers = _convert_fc_discriminator(dis)
+            if converted is not None:
+                dis_params, fc_dis_layers = converted, layers
+        cfg = TrainConfig(
+            ae_form="normal" if enc_cls == "Encoder" else "compact",
+            nstyle=nstyle,
+            n_aux=min(5, nstyle),
+            dim_in=256, dim_out=256,
+            decoder_activation=act,
+            FC_discriminator_layers=fc_dis_layers,
+            use_cnn_discriminator=False,
+        )
+        return (
+            {"enc": enc_params, "dec": dec_params, "dis": dis_params},
+            {"enc": enc_stats, "dec": dec_stats, "dis": {}},
+            cfg,
+        )
+
+    if enc_cls != "FCEncoder":
         raise NotImplementedError(
-            f"converter supports the FC family; got {enc.__class__.__name__}"
+            f"converter supports the FC and conv families; got {enc_cls}"
         )
 
     n_layers = _count_fc_layers(enc.main)

@@ -130,3 +130,61 @@ def test_bundle_roundtrip_via_import(tmp_path, reference_model, rng):
     model = InferenceModel.from_bundle(out)
     spec = rng.normal(size=(4, 256)).astype(np.float32)
     assert model.encode(spec).shape == (4, 6)
+
+
+def test_conv_family_checkpoint_conversion(rng):
+    """Round-trip a freshly-built reference conv checkpoint (Encoder/Decoder)
+    through the converter: outputs must match torch pointwise."""
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import sc.clustering.model as ref_model
+
+    from rankaae_tpu.models.inference import InferenceModel
+    from rankaae_tpu.utils.torch_import import convert_reference_model
+
+    torch.manual_seed(0)
+    tenc = ref_model.Encoder(nstyle=6)
+    tdec = ref_model.Decoder(nstyle=6, last_layer_activation="Softplus")
+    # warm BN running stats
+    tenc.train(), tdec.train()
+    tenc(torch.randn(16, 256))
+    tdec(torch.randn(16, 6))
+    tenc.eval(), tdec.eval()
+
+    params, stats, cfg = convert_reference_model({"Encoder": tenc, "Decoder": tdec})
+    assert cfg.ae_form == "normal" and cfg.nstyle == 6
+    ours = InferenceModel(params, stats, cfg)
+
+    spec = rng.normal(size=(4, 256)).astype(np.float32)
+    z_ref = tenc(torch.tensor(spec)).detach().numpy()
+    np.testing.assert_allclose(ours.encode(spec), z_ref, atol=3e-4)
+
+    z = rng.normal(size=(4, 6)).astype(np.float32)
+    s_ref = tdec(torch.tensor(z)).detach().numpy()
+    np.testing.assert_allclose(ours.decode(z), s_ref, atol=3e-4)
+
+
+def test_compact_family_checkpoint_conversion(rng):
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import sc.clustering.model as ref_model
+
+    from rankaae_tpu.models.inference import InferenceModel
+    from rankaae_tpu.utils.torch_import import convert_reference_model
+
+    torch.manual_seed(1)
+    tenc = ref_model.CompactEncoder(nstyle=5)
+    tdec = ref_model.CompactDecoder(nstyle=5, last_layer_activation="ReLu")
+    tenc.train(), tdec.train()
+    tenc(torch.randn(16, 256))
+    tdec(torch.randn(16, 5))
+    tenc.eval(), tdec.eval()
+
+    params, stats, cfg = convert_reference_model({"Encoder": tenc, "Decoder": tdec})
+    assert cfg.ae_form == "compact" and cfg.decoder_activation == "ReLu"
+    ours = InferenceModel(params, stats, cfg)
+
+    spec = rng.normal(size=(4, 256)).astype(np.float32)
+    np.testing.assert_allclose(
+        ours.encode(spec), tenc(torch.tensor(spec)).detach().numpy(), atol=3e-4
+    )
