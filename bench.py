@@ -28,6 +28,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from rankaae_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from rankaae_tpu.data.synthetic import make_synthetic_xanes
     from rankaae_tpu.train.trainer import RankAAETrainer, TrialData
     from rankaae_tpu.utils.config import TrainConfig

@@ -146,8 +146,13 @@ def main(argv=None):
     assert os.path.exists(work_dir)
     params = Parameters.from_yaml(os.path.join(work_dir, args.config))
 
-    from rankaae_tpu.utils.profiling import enable_nan_debugging, trace
+    from rankaae_tpu.utils.profiling import (
+        enable_compilation_cache,
+        enable_nan_debugging,
+        trace,
+    )
 
+    enable_compilation_cache()
     if args.debug_nans:
         enable_nan_debugging(True)
     with trace(args.profile_dir, label="train_sc"):

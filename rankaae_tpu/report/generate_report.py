@@ -240,6 +240,9 @@ def generate(work_dir: str, config: Parameters) -> str:
 
 
 def main(argv=None):
+    from rankaae_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("-w", "--work_dir", type=str, default=".",
                         help="The folder where the model and data are.")

@@ -54,6 +54,9 @@ class BatchedInference:
 
 
 def main(argv: Optional[list] = None):
+    from rankaae_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("bundle", help="model bundle (.mpk)")
     parser.add_argument("csv", help="spectra CSV (reference schema)")

@@ -20,6 +20,18 @@ from typing import Dict, Optional
 import jax
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache: repeat invocations of the same
+    program (bench runs, re-trainings, report stages) skip the multi-minute
+    TPU compile entirely.  Verified working on the axon TPU platform."""
+    import os
+
+    cache_dir = cache_dir or os.path.expanduser("~/.cache/rankaae_tpu_xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def enable_nan_debugging(enable: bool = True) -> None:
     """Opt-in NaN detection in every jitted computation — the analog of the
     reference's always-on ``torch.autograd.set_detect_anomaly(True)``."""
