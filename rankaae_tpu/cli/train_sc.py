@@ -68,10 +68,28 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
     start = time.time()
     checkpoint_dir = os.path.join(work_dir, "train_state") \
         if (checkpoint_every or resume) else None
+
+    on_segment = None
+    if checkpoint_dir:
+        from rankaae_tpu.utils.logging import append_losses_csv
+
+        def on_segment(e0, e1, seg_logs):
+            # incremental losses.csv: rows survive a crash and resume
+            # continues appending where the last segment stopped
+            for i in range(cfg.trials):
+                job_dir = os.path.join(work_dir, "training", f"job_{i+1}")
+                os.makedirs(job_dir, exist_ok=True)
+                trial_logs = {k: v[i] for k, v in seg_logs.items()
+                              if k != "metrics"}
+                append_losses_csv(
+                    os.path.join(job_dir, "losses.csv"), trial_logs, e0
+                )
+
     try:
         results = run_trials(cfg, data, seed=seed,
                              checkpoint_every=checkpoint_every,
-                             checkpoint_dir=checkpoint_dir)
+                             checkpoint_dir=checkpoint_dir,
+                             on_segment=on_segment)
     finally:
         if timeout_s > 0 and hasattr(signal, "SIGALRM"):
             signal.alarm(0)
@@ -85,7 +103,9 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
         job_logger = create_logger(f"subtraining_{i+1}",
                                    os.path.join(job_dir, "messages.txt"))
         job_logger.info(f"Training started for trial {i+1}.")
-        write_losses_csv(os.path.join(job_dir, "losses.csv"), tr["logs"])
+        if checkpoint_dir is None:
+            # (incremental mode already wrote losses.csv per segment)
+            write_losses_csv(os.path.join(job_dir, "losses.csv"), tr["logs"])
         save_model_bundle(
             os.path.join(job_dir, "final.mpk"),
             tr["final_params"], tr["final_batch_stats"], cfg,

@@ -78,6 +78,7 @@ def run_trials(
     max_resident_per_device: float = 64,
     checkpoint_every: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
+    on_segment=None,
 ) -> TrialResults:
     """Train ``n_trials`` independent trials concurrently across the mesh.
 
@@ -110,7 +111,8 @@ def run_trials(
         return _concat_results(waves)
     return _run_wave(cfg, data, n_trials, seed, mesh,
                      checkpoint_every=checkpoint_every,
-                     checkpoint_dir=checkpoint_dir)
+                     checkpoint_dir=checkpoint_dir,
+                     on_segment=on_segment)
 
 
 def _concat_results(waves):
@@ -138,10 +140,15 @@ def _run_wave(
     mesh: Mesh,
     checkpoint_every: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
+    on_segment=None,
 ) -> TrialResults:
     """One resident wave of trials; optionally segmented with mid-run
     checkpoints (``checkpoint_every`` epochs) that ``resume_trials`` can
-    restart from — fault tolerance the reference lacks (SURVEY.md §5)."""
+    restart from — fault tolerance the reference lacks (SURVEY.md §5).
+
+    ``on_segment(e0, e1, seg_logs)`` is invoked after each segment with the
+    host-side stacked logs for epochs [e0, e1) — used by the CLI for
+    incremental losses.csv writing."""
     import json
     import os
 
@@ -192,7 +199,11 @@ def _run_wave(
     while e0 < cfg.max_epoch:
         e1 = min(e0 + seg, cfg.max_epoch)
         states, seg_logs = run_seg(states, data, jnp.arange(e0, e1))
-        log_parts.append(jax.tree_util.tree_map(np.asarray, seg_logs))
+        seg_host = jax.tree_util.tree_map(np.asarray, seg_logs)
+        log_parts.append(seg_host)
+        if on_segment is not None:
+            on_segment(e0, e1, jax.tree_util.tree_map(
+                lambda x: x[:n_trials], seg_host))
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
             save_train_state(os.path.join(checkpoint_dir, "trial_state.mpk"), states)

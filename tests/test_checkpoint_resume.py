@@ -91,3 +91,33 @@ def test_mismatched_checkpoint_ignored(small_data, tmp_path):
     res = run_trials(cfg, small_data, n_trials=2, seed=6,
                      checkpoint_every=1, checkpoint_dir=ckdir)
     assert res.logs["val_recon"].shape == (2, 3)
+
+
+def test_incremental_losses_csv(small_data, tmp_path):
+    """Segmented CLI runs append losses.csv rows per segment; the final file
+    matches what a one-shot write produces."""
+    import yaml
+
+    from rankaae_tpu.data.synthetic import make_synthetic_xanes_csv
+    from rankaae_tpu.cli.train_sc import main
+
+    wd = tmp_path / "wd"
+    wd.mkdir()
+    make_synthetic_xanes_csv(str(wd / "d.csv"), n_rows=300, dim=64, seed=2)
+    cfg = {
+        "data_file": "d.csv", "trials": 2, "max_epoch": 21, "batch_size": 64,
+        "ae_form": "FC", "nstyle": 6, "n_aux": 5, "n_layers": 3,
+        "dim_in": 64, "dim_out": 64, "decoder_activation": "Softplus",
+        "optimizer_name": "AdamW", "lr_base": 1e-3, "epoch_stop_smooth": 5,
+        "kendall_activation": True, "gradient_reversal": True, "timeout": 1,
+    }
+    with open(wd / "c.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    main(["-c", "c.yaml", "-w", str(wd), "--checkpoint-every", "7"])
+    lines = (wd / "training" / "job_1" / "losses.csv").read_text().splitlines()
+    # header + epochs 0, 10, 20
+    assert len(lines) == 4
+    assert lines[1].startswith("0,\t")
+    assert lines[2].startswith("10,\t")
+    assert lines[3].startswith("20,\t")
