@@ -19,4 +19,21 @@ ipyparallel multi-trial) designed TPU-first:
 
 __version__ = "0.1.0"
 
-from rankaae_tpu.utils.config import Parameters  # noqa: F401
+from rankaae_tpu.utils.config import Parameters, TrainConfig  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy heavyweight imports so `import rankaae_tpu` stays light
+    if name == "RankAAETrainer":
+        from rankaae_tpu.train.trainer import RankAAETrainer
+
+        return RankAAETrainer
+    if name == "run_trials":
+        from rankaae_tpu.parallel.trials import run_trials
+
+        return run_trials
+    if name == "InferenceModel":
+        from rankaae_tpu.models.inference import InferenceModel
+
+        return InferenceModel
+    raise AttributeError(f"module 'rankaae_tpu' has no attribute {name!r}")

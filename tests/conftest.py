@@ -16,6 +16,11 @@ import jax  # noqa: E402
 # JAX_PLATFORMS, so the env var alone cannot select CPU; the config API can.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: repeat suite runs skip recompiling the trainer
+# programs (the dominant test cost).
+jax.config.update("jax_compilation_cache_dir", "/tmp/rankaae_test_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
