@@ -40,7 +40,10 @@ def make_synthetic_xanes(
     rstd = np.abs(rng.normal(0.05, 0.02, n_rows)) + 0.01  # bond-length spread
     mood = rng.normal(0.0, 1.0, n_rows) + 0.3 * ct        # mean-of-distances proxy
 
-    e0 = 0.25 * (grid[0] + grid[-1]) + 0.5 * (grid[-1] - grid[0]) * 0.1 * ct / 3.0 + 8.0
+    # CT shifts the edge by ~2.2 eV per sigma — a strong, monotonic,
+    # physically-motivated signal (charge transfer moves the edge onset).
+    # Edge sits a quarter of the way into the grid.
+    e0 = grid[0] + 0.25 * (grid[-1] - grid[0]) + 2.2 * ct
     e0 = np.clip(e0, grid[8], grid[-9])
 
     x = grid[None, :]  # (1, dim)
@@ -48,8 +51,10 @@ def make_synthetic_xanes(
     edge_w = 2.0 + 5.0 * rstd[:, None] * 20.0
     spec = 0.5 + np.arctan((x - e0[:, None]) / edge_w) / np.pi
 
-    # white line: main peak just above the edge; height anti-correlates with CN
-    wl_height = 1.6 - 0.15 * (cn - 5.0) + 0.05 * rng.normal(0.0, 1.0, n_rows)
+    # white line: main peak just above the edge; height anti-correlates with
+    # CN and gains a mild CT component (intensity borrowing)
+    wl_height = (1.6 - 0.15 * (cn - 5.0) - 0.08 * ct
+                 + 0.05 * rng.normal(0.0, 1.0, n_rows))
     wl_width = 3.0 + 40.0 * rstd
     wl_pos = e0 + 6.0 + 0.8 * (cn - 5.0)
     spec += wl_height[:, None] * np.exp(-0.5 * ((x - wl_pos[:, None]) / wl_width[:, None]) ** 2)
