@@ -57,3 +57,19 @@ def test_epoch_batch_indices_exact_division(rng):
     idx = epoch_batch_indices(rng, n=1024, batch_size=256)
     assert idx.shape == (4, 256)
     assert sorted(idx.ravel().tolist()) == list(range(1024))
+
+
+def test_synthetic_descriptors_recoverable():
+    """Every AUX descriptor must be linearly recoverable from the spectra —
+    the rank-correlation losses need real signal to find (regression guard
+    for the off-grid edge-position bug that silently erased CT)."""
+    from scipy.stats import spearmanr
+
+    from rankaae_tpu.data.synthetic import make_synthetic_xanes
+
+    aux, spec, _ = make_synthetic_xanes(n_rows=1500, seed=3)
+    X = np.concatenate([spec, np.ones((len(spec), 1))], axis=1)
+    for k, name in enumerate(["CT", "CN", "OCN", "RSTD", "MOOD"]):
+        w, *_ = np.linalg.lstsq(X[:1000], aux[:1000, k], rcond=None)
+        rho = spearmanr(X[1000:] @ w, aux[1000:, k]).correlation
+        assert rho > 0.8, f"{name}: linear-probe spearman {rho:.3f}"
