@@ -141,6 +141,12 @@ def _final_stats(encode, decode, val_spec, val_aux):
 
 def run_reference(workdir, cfg_dict, csv_path):
     _stub_reference_deps()
+    # evict the repo's import-compat `sc` shim so the REFERENCE package wins
+    for name in list(sys.modules):
+        if name == "sc" or name.startswith("sc."):
+            mod = sys.modules[name]
+            if "/root/repo" in (getattr(mod, "__file__", "") or ""):
+                del sys.modules[name]
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     import torch

@@ -38,3 +38,22 @@ def synthetic_csv(tmp_path_factory):
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)
+
+
+def import_reference_sc():
+    """Import the REFERENCE sc package (/root/reference), evicting the repo's
+    import-compat shim (also named ``sc``) from sys.modules if present —
+    needed both for direct oracle imports and for unpickling reference
+    checkpoints (pickle resolves classes via sys.modules)."""
+    import importlib
+    import sys
+
+    for name in list(sys.modules):
+        if name == "sc" or name.startswith("sc."):
+            mod = sys.modules[name]
+            file = getattr(mod, "__file__", "") or ""
+            if "/root/repo" in file:
+                del sys.modules[name]
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    return importlib.import_module("sc")

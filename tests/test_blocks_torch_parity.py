@@ -17,8 +17,9 @@ RNGS = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
 
 
 def _ref():
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    from tests.conftest import import_reference_sc
+
+    import_reference_sc()
     import sc.clustering.model as ref_model
 
     return ref_model

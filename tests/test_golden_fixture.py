@@ -21,8 +21,9 @@ FIXTURE = "/root/reference/sc/tests/data/training/job_1/final.pt"
 
 @pytest.fixture(scope="module")
 def reference_model():
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    from tests.conftest import import_reference_sc
+
+    import_reference_sc()
     return torch.load(FIXTURE, map_location="cpu", weights_only=False)
 
 
@@ -109,8 +110,9 @@ def test_all_eight_fixtures_convert(rng):
     from rankaae_tpu.models.inference import InferenceModel
     from rankaae_tpu.utils.torch_import import import_reference_checkpoint
 
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    from tests.conftest import import_reference_sc
+
+    import_reference_sc()
     spec = rng.normal(size=(4, 256)).astype(np.float32)
     for i in range(1, 9):
         params, stats, cfg = import_reference_checkpoint(
@@ -135,8 +137,9 @@ def test_bundle_roundtrip_via_import(tmp_path, reference_model, rng):
 def test_conv_family_checkpoint_conversion(rng):
     """Round-trip a freshly-built reference conv checkpoint (Encoder/Decoder)
     through the converter: outputs must match torch pointwise."""
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    from tests.conftest import import_reference_sc
+
+    import_reference_sc()
     import sc.clustering.model as ref_model
 
     from rankaae_tpu.models.inference import InferenceModel
@@ -165,8 +168,9 @@ def test_conv_family_checkpoint_conversion(rng):
 
 
 def test_compact_family_checkpoint_conversion(rng):
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    from tests.conftest import import_reference_sc
+
+    import_reference_sc()
     import sc.clustering.model as ref_model
 
     from rankaae_tpu.models.inference import InferenceModel

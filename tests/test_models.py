@@ -95,8 +95,9 @@ def test_grl_beta_none_is_identity_path(rng):
 # ---------------------------------------------------------------------------
 
 def _ref_model():
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    from tests.conftest import import_reference_sc
+
+    import_reference_sc()
     import sc.clustering.model as ref_model
 
     return ref_model

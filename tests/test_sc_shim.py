@@ -1,0 +1,53 @@
+"""The drop-in ``sc`` import-compat shim.
+
+Run in a subprocess so the shim's ``sc`` modules never pollute
+``sys.modules`` for the tests that import the REFERENCE ``sc`` package as a
+torch oracle (see conftest.import_reference_sc)."""
+import subprocess
+import sys
+
+SCRIPT = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+assert "/root/reference" not in sys.path
+
+from sc.utils.parameter import Parameters, AE_CLS_DICT, OPTIM_DICT
+from sc.utils.logger import create_logger
+from sc.utils.functions import kendall_constraint, recon_loss, smoothness_loss, alpha
+from sc.utils.descriptors import SpecDescriptors
+from sc.clustering.dataloader import AuxSpectraDataset, get_dataloaders, ToTensor
+from sc.clustering.trainer import Trainer
+from sc.clustering.model import FCEncoder, Encoder, DiscriminatorFC, GradientReversalLayer
+from sc.report import analysis
+from sc.report.analysis import evaluate_model, sort_all_models
+from sc.report.analysis_new import LossCurvePlotter, Reconstruct
+from sc.report.generate_report import sorting_algorithm, plot_report
+from sc.cmd.train_sc import main
+
+# these must be OUR implementations
+import sc.clustering.model as m
+assert "/root/repo" in m.__file__, m.__file__
+assert "FC" in AE_CLS_DICT and "AdamW" in OPTIM_DICT
+
+p = Parameters({"a": 1})
+assert p.a == 1
+
+# reference-signature loss call with torch-style kwargs
+import numpy as np
+import jax.numpy as jnp
+d = jnp.asarray(np.random.default_rng(0).normal(size=(32, 5)).astype("float32"))
+s = jnp.asarray(np.random.default_rng(1).normal(size=(32, 5)).astype("float32"))
+val = float(kendall_constraint(d, s, activate=True, device="ignored"))
+assert abs(val) < 1.0
+print("SC_SHIM_OK")
+"""
+
+
+def test_sc_shim_imports_and_works():
+    result = subprocess.run(
+        [sys.executable, "-c", SCRIPT],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert "SC_SHIM_OK" in result.stdout, result.stdout + result.stderr
