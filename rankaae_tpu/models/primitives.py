@@ -30,6 +30,31 @@ from flax import linen as nn
 
 
 # ---------------------------------------------------------------------------
+# matmul/conv precision knob
+# ---------------------------------------------------------------------------
+# HIGHEST (true f32) by default — required by the torch-parity tolerances.
+# "default" (bf16 passes on TPU) shrinks the lowered program substantially,
+# which matters for the deep conv families under memory-limited remote
+# compilers.  Process-level knob: set BEFORE building/compiling models
+# (jit caches do not observe changes).
+
+_MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_matmul_precision(name: str) -> None:
+    """'highest' (f32, parity-exact) or 'default' (fast TPU passes)."""
+    global _MATMUL_PRECISION
+    _MATMUL_PRECISION = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }[name]
+
+
+def get_matmul_precision():
+    return _MATMUL_PRECISION
+
+
+# ---------------------------------------------------------------------------
 # torch-default initializers
 # ---------------------------------------------------------------------------
 
@@ -81,7 +106,7 @@ class Linear(nn.Module):
         in_features = x.shape[-1]
         kernel = self.param("kernel", torch_linear_kernel_init, (in_features, self.features))
         bias = self.param("bias", torch_bias_init_for_fan_in(in_features), (self.features,))
-        y = jnp.dot(x, kernel, precision=jax.lax.Precision.HIGHEST,
+        y = jnp.dot(x, kernel, precision=get_matmul_precision(),
                     preferred_element_type=jnp.float32)
         return y + bias
 
@@ -188,7 +213,7 @@ class Conv1d(nn.Module):
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
             feature_group_count=self.groups,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=get_matmul_precision(),
             preferred_element_type=jnp.float32,
         )
         return y + bias[None, :, None]
@@ -231,7 +256,7 @@ class ConvTranspose1d(nn.Module):
         xg = x.reshape(b, g, in_pg, length)
         wg = weight.reshape(g, in_pg, out_pg, self.kernel_size)
         y = jnp.einsum("bgcl,gcot->bgolt", xg, wg,
-                       precision=jax.lax.Precision.HIGHEST,
+                       precision=get_matmul_precision(),
                        preferred_element_type=jnp.float32)
         y = y.reshape(b, self.out_channels, length * self.kernel_size)
         return y + bias[None, :, None]
@@ -283,7 +308,7 @@ def gaussian_smooth_1d(x: jnp.ndarray, kernel_size: int = 17, sigma: float = 3.0
         window_strides=(1,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=get_matmul_precision(),
         preferred_element_type=jnp.float32,
     )
     return y[:, 0, :]
