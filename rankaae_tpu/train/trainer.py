@@ -105,6 +105,10 @@ class RankAAETrainer:
 
     def __init__(self, cfg: TrainConfig, n_train: int, n_val: int):
         cfg.validate()
+        from rankaae_tpu.models.primitives import set_matmul_precision
+
+        # process-level knob (see TrainConfig.matmul_precision docstring)
+        set_matmul_precision(cfg.matmul_precision)
         self.cfg = cfg
         self.n_train = n_train
         self.n_val = n_val

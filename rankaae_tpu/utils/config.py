@@ -116,6 +116,12 @@ class TrainConfig:
     # default 500 mirrors the reference fallback (``trainer.py:59``)
     epoch_stop_smooth: int = 500
 
+    # net-new: matmul/conv precision ('highest' = true f32, parity-exact;
+    # 'default' = fast TPU bf16 passes — required for the deep conv families
+    # under memory-limited remote compilers, see README known-gaps).
+    # Process-level: one precision per process (set at trainer construction).
+    matmul_precision: str = "highest"
+
     # split ratios (reference hardcodes these in Trainer.from_data signature,
     # ``trainer.py:415``)
     train_ratio: float = 0.7
@@ -166,6 +172,11 @@ class TrainConfig:
             )
         if not (self.batch_size > 1):
             raise ValueError("batch_size must be > 1 (pairwise Kendall loss)")
+        if self.matmul_precision not in ("highest", "default"):
+            raise ValueError(
+                f"matmul_precision {self.matmul_precision!r} not in "
+                "('highest', 'default')"
+            )
 
     def replace(self, **kw) -> "TrainConfig":
         cfg = dataclasses.replace(self, **kw)
