@@ -80,3 +80,25 @@ def test_qved_form_trains(rng):
     state = trainer.init_state(jax.random.PRNGKey(0))
     state, logs = jax.jit(trainer.run)(state, data)
     assert np.all(np.isfinite(np.asarray(logs["val_recon"])))
+
+
+def test_matmul_precision_config(conv_data):
+    """matmul_precision=default trains the conv form (the TPU path for the
+    deep 'normal' family); invalid values are rejected."""
+    import pytest as _pytest
+
+    from rankaae_tpu.models.primitives import get_matmul_precision, set_matmul_precision
+    from rankaae_tpu.utils.config import TrainConfig
+
+    with _pytest.raises(ValueError, match="matmul_precision"):
+        _tiny_cfg().replace(matmul_precision="bf16")
+
+    cfg = _tiny_cfg(ae_form="compact", dim_in=256, dim_out=256, max_epoch=1,
+                    batch_size=32, epoch_stop_smooth=1,
+                    matmul_precision="default")
+    trainer = RankAAETrainer(cfg, 96, 32)
+    assert str(get_matmul_precision()) == "Precision.DEFAULT"
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, logs = jax.jit(trainer.run)(state, conv_data)
+    assert np.all(np.isfinite(np.asarray(logs["val_recon"])))
+    set_matmul_precision("highest")  # restore for other tests
