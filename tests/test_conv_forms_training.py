@@ -97,7 +97,7 @@ def test_matmul_precision_config(conv_data):
                     batch_size=32, epoch_stop_smooth=1,
                     matmul_precision="default")
     trainer = RankAAETrainer(cfg, 96, 32)
-    assert str(get_matmul_precision()) == "Precision.DEFAULT"
+    assert "DEFAULT" in str(get_matmul_precision())
     state = trainer.init_state(jax.random.PRNGKey(0))
     state, logs = jax.jit(trainer.run)(state, conv_data)
     assert np.all(np.isfinite(np.asarray(logs["val_recon"])))
