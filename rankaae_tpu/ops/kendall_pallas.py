@@ -20,6 +20,9 @@ Math (reference ``sc/utils/functions.py:37-79``):
 Layout: inputs are passed in BOTH (B, K) and (K, B) layouts (transposed on
 the XLA side, ~20 KB each) so the kernel reads row blocks as (TB, 1) and
 column vectors as (1, B) without any in-kernel lane<->sublane transposes.
+Ragged batches are zero-padded to the block size and masked out inside the
+kernels via the true-batch scalar (validation splits are rarely multiples
+of 256).
 """
 from __future__ import annotations
 
@@ -43,24 +46,31 @@ def _onehot_col(block, k, n_col):
     return jnp.sum(jnp.where(mask, block, 0.0), axis=1, keepdims=True)
 
 
-def _fwd_kernel(d_bk_ref, dt_ref, s_bk_ref, st_ref, sums_ref, cnts_ref):
+def _fwd_kernel(n_ref, d_bk_ref, dt_ref, s_bk_ref, st_ref, sums_ref, cnts_ref):
     """grid = (K, n_blocks): partial reductions for descriptor k, row block ib.
 
-    d_bk/s_bk: (B, K); dt/st: (K, B).  sums/cnts: (K, 2) SMEM accumulators —
-    [:, 0] = concordant (product > 0), [:, 1] = discordant.
+    d_bk/s_bk: (B_pad, K); dt/st: (K, B_pad); n_ref: (1,) SMEM true batch
+    size (padded rows/cols are masked out).  sums/cnts: (K, 2) SMEM
+    accumulators — [:, 0] = concordant (product > 0), [:, 1] = discordant.
     """
     k = pl.program_id(0)
     ib = pl.program_id(1)
+    n = n_ref[0]
 
     n_col = d_bk_ref.shape[1]
-    d_cols = dt_ref[pl.ds(k, 1), :]                       # (1, B)
+    b_pad = dt_ref.shape[1]
+    d_cols = dt_ref[pl.ds(k, 1), :]                       # (1, B_pad)
     s_cols = st_ref[pl.ds(k, 1), :]
     d_rows = _onehot_col(d_bk_ref[pl.ds(ib * _TB, _TB), :], k, n_col)  # (TB, 1)
     s_rows = _onehot_col(s_bk_ref[pl.ds(ib * _TB, _TB), :], k, n_col)
 
-    target = jnp.sign(d_rows - d_cols)                    # (TB, B)
+    target = jnp.sign(d_rows - d_cols)                    # (TB, B_pad)
     pred = s_rows - s_cols
     product = pred * target
+    row_ids = ib * _TB + jax.lax.broadcasted_iota(jnp.int32, (_TB, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, b_pad), 1)
+    valid = (row_ids < n) & (col_ids < n)
+    product = jnp.where(valid, product, 0.0)
 
     pos = product > 0
     neg = product < 0
@@ -78,7 +88,7 @@ def _fwd_kernel(d_bk_ref, dt_ref, s_bk_ref, st_ref, sums_ref, cnts_ref):
     cnts_ref[k, 1] += jnp.sum(neg.astype(jnp.float32))
 
 
-def _bwd_kernel(d_bk_ref, dt_ref, s_bk_ref, st_ref, w_ref, grad_ref):
+def _bwd_kernel(n_ref, d_bk_ref, dt_ref, s_bk_ref, st_ref, w_ref, grad_ref):
     """grid = (K, n_blocks): weighted row sums -> per-sample gradient rows.
 
     grad[a, k] = sum_j w_eff[a,j,k] * t[a,j,k], w_eff = w_k on concordant
@@ -90,24 +100,30 @@ def _bwd_kernel(d_bk_ref, dt_ref, s_bk_ref, st_ref, w_ref, grad_ref):
     """
     k = pl.program_id(0)
     ib = pl.program_id(1)
+    n = n_ref[0]
 
     n_col = d_bk_ref.shape[1]
-    d_all = _onehot_col(d_bk_ref[:, :], k, n_col)         # (B, 1)
+    b_pad = d_bk_ref.shape[0]
+    d_all = _onehot_col(d_bk_ref[:, :], k, n_col)         # (B_pad, 1)
     s_all = _onehot_col(s_bk_ref[:, :], k, n_col)
     d_blk = dt_ref[pl.ds(k, 1), pl.ds(ib * _TB, _TB)]     # (1, TB)
     s_blk = st_ref[pl.ds(k, 1), pl.ds(ib * _TB, _TB)]
     w_k = w_ref[k, 0]
 
-    target = jnp.sign(d_all - d_blk)                      # (B, TB)
+    target = jnp.sign(d_all - d_blk)                      # (B_pad, TB)
     pred = s_all - s_blk
     concordant = (pred * target) > 0
     weighted_t = jnp.where(concordant, w_k * target, target)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b_pad, 1), 0)
+    col_ids = ib * _TB + jax.lax.broadcasted_iota(jnp.int32, (1, _TB), 1)
+    valid = (row_ids < n) & (col_ids < n)
+    weighted_t = jnp.where(valid, weighted_t, 0.0)
     grad_ref[pl.ds(k, 1), pl.ds(ib * _TB, _TB)] = -jnp.sum(
         weighted_t, axis=0, keepdims=True
     )
 
 
-def _pair_sums_pallas(d_bk, d_t, s_bk, s_t):
+def _pair_sums_pallas(n, d_bk, d_t, s_bk, s_t):
     k_dim, b = d_t.shape
     n_blocks = b // _TB
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -115,42 +131,44 @@ def _pair_sums_pallas(d_bk, d_t, s_bk, s_t):
     sums, cnts = pl.pallas_call(
         _fwd_kernel,
         grid=(k_dim, n_blocks),
-        in_specs=[vmem, vmem, vmem, vmem],
+        in_specs=[smem, vmem, vmem, vmem, vmem],
         out_specs=(smem, smem),
         out_shape=(
             jax.ShapeDtypeStruct((k_dim, 2), jnp.float32),
             jax.ShapeDtypeStruct((k_dim, 2), jnp.float32),
         ),
         interpret=_INTERPRET,
-    )(d_bk, d_t, s_bk, s_t)
+    )(jnp.asarray([n], jnp.int32), d_bk, d_t, s_bk, s_t)
     return sums, cnts
 
 
-def _grad_rows_pallas(d_bk, d_t, s_bk, s_t, w):
+def _grad_rows_pallas(n, d_bk, d_t, s_bk, s_t, w):
     k_dim, b = d_t.shape
     n_blocks = b // _TB
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     grad_kb = pl.pallas_call(
         _bwd_kernel,
         grid=(k_dim, n_blocks),
-        in_specs=[vmem, vmem, vmem, vmem,
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=[smem, vmem, vmem, vmem, vmem, smem],
         out_specs=vmem,
         out_shape=jax.ShapeDtypeStruct((k_dim, b), jnp.float32),
         interpret=_INTERPRET,
-    )(d_bk, d_t, s_bk, s_t, w.reshape(k_dim, 1))
+    )(jnp.asarray([n], jnp.int32), d_bk, d_t, s_bk, s_t, w.reshape(k_dim, 1))
     return jnp.swapaxes(grad_kb, 0, 1)
 
 
 def _prepare(descriptors, styles):
+    """Zero-pad to a block multiple; padded rows/cols are masked out inside
+    the kernels via the true-batch scalar."""
     b, k = styles.shape
-    if b % _TB != 0:
-        raise NotImplementedError(
-            f"kendall_constraint_pallas requires batch % {_TB} == 0 (got {b}); "
-            "use the XLA fallback for ragged batches"
-        )
+    b_pad = -(-b // _TB) * _TB
     d_bk = descriptors.astype(jnp.float32)
     s_bk = styles.astype(jnp.float32)
+    if b_pad != b:
+        pad = ((0, b_pad - b), (0, 0))
+        d_bk = jnp.pad(d_bk, pad)
+        s_bk = jnp.pad(s_bk, pad)
     return d_bk, jnp.swapaxes(d_bk, 0, 1), s_bk, jnp.swapaxes(s_bk, 0, 1), b, k
 
 
@@ -164,7 +182,7 @@ def kendall_constraint_pallas(descriptors, styles, activate: bool = False):
 
 def _kendall_fwd(descriptors, styles, activate):
     d_bk, d_t, s_bk, s_t, b, k = _prepare(descriptors, styles)
-    sums, cnts = _pair_sums_pallas(d_bk, d_t, s_bk, s_t)
+    sums, cnts = _pair_sums_pallas(b, d_bk, d_t, s_bk, s_t)
     if activate:
         w = activation_weights(cnts[:, 0], cnts[:, 1])
     else:
@@ -178,7 +196,7 @@ def _kendall_bwd(activate, res, g):
     descriptors, styles, w = res
     d_bk, d_t, s_bk, s_t, b, k = _prepare(descriptors, styles)
     norm = (b * b - b) * k
-    rows = _grad_rows_pallas(d_bk, d_t, s_bk, s_t, w)     # (B, K)
+    rows = _grad_rows_pallas(b, d_bk, d_t, s_bk, s_t, w)[:b]   # (B, K)
     grad_styles = rows * (-2.0 * g / norm)
     return jnp.zeros_like(descriptors), grad_styles
 
@@ -190,8 +208,7 @@ def kendall_constraint_auto(descriptors, styles, activate: bool = False):
     """Pick the fused kernel on TPU when shapes allow, else the XLA version."""
     from rankaae_tpu.ops.kendall import kendall_constraint
 
-    b = styles.shape[0]
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    if (on_tpu or _INTERPRET) and b % _TB == 0:
+    if on_tpu or _INTERPRET:
         return kendall_constraint_pallas(descriptors, styles, activate)
     return kendall_constraint(descriptors, styles, activate=activate)

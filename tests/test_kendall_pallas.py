@@ -59,19 +59,27 @@ def test_pallas_under_vmap(rng):
                                    atol=1e-6)
 
 
-def test_ragged_batch_raises():
-    d = jnp.zeros((100, 5))
-    s = jnp.zeros((100, 5))
-    with pytest.raises(NotImplementedError):
-        kp.kendall_constraint_pallas(d, s, False)
+@pytest.mark.parametrize("b", [100, 300, 1050])
+def test_ragged_batch_matches_xla(rng, b):
+    """Ragged batches (validation splits) are padded + masked in-kernel."""
+    k = 5
+    d = rng.normal(size=(b, k)).astype(np.float32)
+    d[:, 1] = rng.choice([4.0, 5.0, 6.0], b)
+    s = rng.normal(size=(b, k)).astype(np.float32)
+    for act in (False, True):
+        f_ref = lambda s_: kendall_constraint(jnp.asarray(d), s_, activate=act)
+        f_pl = lambda s_: kp.kendall_constraint_pallas(jnp.asarray(d), s_, act)
+        l1, g1 = jax.value_and_grad(f_ref)(jnp.asarray(s))
+        l2, g2 = jax.value_and_grad(f_pl)(jnp.asarray(s))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
 
 
-def test_auto_dispatch_falls_back_on_ragged(rng):
-    """auto() must route ragged batches to the XLA path (validation split
-    sizes are not multiples of 256)."""
+def test_auto_dispatch_uses_kernel_on_ragged(rng):
+    """auto() now routes ragged batches through the masked kernel too."""
     b, k = 300, 5
     d = jnp.asarray(rng.normal(size=(b, k)).astype(np.float32))
     s = jnp.asarray(rng.normal(size=(b, k)).astype(np.float32))
     out = kp.kendall_constraint_auto(d, s, activate=True)
     ref = kendall_constraint(d, s, activate=True)
-    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-4, atol=1e-7)
