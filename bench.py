@@ -71,7 +71,9 @@ def main():
     for _ in range(3):
         t0 = time.time()
         out_states, logs = compiled(states, data)
-        jax.block_until_ready(logs["combined"])
+        # np.asarray forces full host materialization; block_until_ready
+        # does not reliably block on the experimental axon platform
+        np.asarray(logs["combined"])
         walls.append(time.time() - t0)
     wall = min(walls)
     print(f"walls: {[round(w, 2) for w in walls]}", file=sys.stderr)
