@@ -202,7 +202,8 @@ def run_ours(workdir, cfg_dict, csv_path, platform=None):
     state = trainer.init_state(jax.random.PRNGKey(0))
     t0 = time.time()
     state, logs = jax.jit(trainer.run)(state, data)
-    jax.block_until_ready(logs["combined"])
+    # np.asarray: block_until_ready does not reliably block on axon
+    np.asarray(logs["combined"])
     wall = time.time() - t0
     metrics = [float(x) for x in np.asarray(logs["metrics"])[-1]]
     model = InferenceModel(state.params, state.batch_stats, cfg)
