@@ -65,8 +65,7 @@ class DualAAE:
         import jax.numpy as jnp
 
         ev = self.encoder.init(rngs, x, train=True)
-        z = self.encoder.apply(ev, x, train=False) if "batch_stats" not in ev \
-            else self.encoder.apply(ev, x, train=False)
+        z = self.encoder.apply(ev, x, train=False)
         dv = self.decoder.init(rngs, z, train=True)
         xv = self.discriminator.init(rngs, z, jnp.float32(0.3), train=True)
         return {"enc": ev, "dec": dv, "dis": xv}

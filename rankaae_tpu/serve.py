@@ -30,7 +30,7 @@ class BatchedInference:
         self.model = model
         self.batch_size = batch_size
 
-    def _chunk_apply(self, fn, x: np.ndarray, out_dim: int) -> np.ndarray:
+    def _chunk_apply(self, fn, x: np.ndarray) -> np.ndarray:
         n = x.shape[0]
         b = self.batch_size
         n_pad = -(-n // b) * b
@@ -42,12 +42,10 @@ class BatchedInference:
         return np.concatenate(outs, axis=0)[:n]
 
     def encode(self, spec: np.ndarray) -> np.ndarray:
-        return self._chunk_apply(self.model._encode, np.asarray(spec, np.float32),
-                                 self.model.nstyle)
+        return self._chunk_apply(self.model._encode, np.asarray(spec, np.float32))
 
     def decode(self, styles: np.ndarray) -> np.ndarray:
-        return self._chunk_apply(self.model._decode, np.asarray(styles, np.float32),
-                                 self.model.cfg.dim_out)
+        return self._chunk_apply(self.model._decode, np.asarray(styles, np.float32))
 
     def reconstruct(self, spec: np.ndarray) -> np.ndarray:
         return self.decode(self.encode(spec))

@@ -186,13 +186,3 @@ class TrainConfig:
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
 
-
-def load_report_config(p: Parameters) -> Dict[str, Any]:
-    """Report-stage keys with reference defaults (``generate_report.py:229-251``)."""
-    return {
-        "output_name": p.get("output_name", "report"),
-        "top_n": p.get("top_n", 5),
-        "n_sampling": p.get("n_sampling", 1000),
-        "plot_residual": p.get("plot_residual", False),
-        "plot_job": p.get("plot_job", None),
-    }
