@@ -51,3 +51,19 @@ def test_sc_shim_imports_and_works():
         cwd="/root/repo",
     )
     assert "SC_SHIM_OK" in result.stdout, result.stdout + result.stderr
+
+
+def test_cluster_helper_shims():
+    """The no-op cluster helpers run and report (subprocess, CPU)."""
+    script = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "from sc.cmd.wait_ipp_engines import main as wait_main\n"
+        "from sc.cmd.stop_ipcontroller import main as stop_main\n"
+        "assert wait_main(['-n', '8']) == 0\n"
+        "assert stop_main() == 0\n"
+        "print('HELPERS_OK')\n"
+    )
+    result = subprocess.run([sys.executable, "-c", script],
+                            capture_output=True, text=True, timeout=120,
+                            cwd="/root/repo")
+    assert "HELPERS_OK" in result.stdout, result.stdout + result.stderr
