@@ -9,7 +9,9 @@ TPU-first structure
   ``trainer.py:286-295``); here the per-epoch quality metrics are computed on
   device (``rankaae_tpu.ops.stats``).
 * The dataset lives on device; a batch is a gather with a per-epoch permuted
-  index matrix (padded by wrapping — static shapes).
+  index matrix.  Full batches run as a ``lax.scan``; the trailing partial
+  batch (drop_last=False semantics) is one unrolled step at its own static
+  shape — no duplicate samples, torch-identical batch statistics.
 * ReduceLROnPlateau is carried scan state (``rankaae_tpu.optim.plateau``),
   and best-model selection is a traced argmin over the combined metric.
 * Everything is a pytree of arrays -> ``vmap`` over a stacked trial axis
@@ -62,8 +64,12 @@ from rankaae_tpu.utils.config import TrainConfig
 METRIC_WEIGHTS = jnp.array([1.0, -1.0, -0.01, -1.0, -1.0], jnp.float32)
 GAU_KERNEL_SIZE = 17
 
-# optimizer name -> (param subset keys, lr ratio attr, uses custom betas, wd)
-# (reference trainer.py:333-397)
+# optimizer name -> (param subset keys, lr ratio attr, uses custom betas,
+# explicit wd) (reference trainer.py:333-397).  The four optimizers the
+# reference constructs WITHOUT weight_decay= (mutual_info / discriminator /
+# generator / adversarial) inherit the torch class default — 0.01 for AdamW,
+# 0 for Adam and torch_optimizer's RAdam/AdaBound — so "no explicit wd" is
+# NOT "no wd" under the shipped AdamW configs.
 OPT_SPECS = {
     "reconstruction": (("enc", "dec"), "lr_ratio_Reconn", None, True),
     "mutual_info": (("enc", "dec"), "lr_ratio_Mutual", None, False),
@@ -73,6 +79,10 @@ OPT_SPECS = {
     "generator": (("enc",), "lr_ratio_gen", "gen_beta", False),
     "adversarial": (("dis", "enc"), "lr_ratio_dis", "dis_beta", False),
 }
+
+# torch default weight_decay per optimizer class (applied when the reference
+# omits the kwarg; torch.optim.AdamW signature / torch_optimizer docs)
+DEFAULT_WD = {"Adam": 0.0, "AdamW": 1e-2, "RAdam": 0.0, "AdaBound": 0.0}
 
 
 class TrialData(NamedTuple):
@@ -116,12 +126,12 @@ class RankAAETrainer:
         self.encoder, self.decoder = build_autoencoder(cfg)
         self.discriminator = build_discriminator(cfg)
         self.opts: Dict[str, Optimizer] = {}
-        for name, (_, ratio_attr, beta_attr, use_wd) in OPT_SPECS.items():
+        for name, (_, ratio_attr, beta_attr, explicit_wd) in OPT_SPECS.items():
             betas = (0.9, 0.999)
             if beta_attr is not None:
                 b = getattr(cfg, beta_attr)
                 betas = (0.9 * b, 0.009 * b + 0.99)  # reference trainer.py:369,377,386
-            wd = cfg.weight_decay if use_wd else 0.0
+            wd = cfg.weight_decay if explicit_wd else DEFAULT_WD[cfg.optimizer_name]
             kw = {}
             if cfg.optimizer_name == "AdaBound":
                 kw["base_lr"] = getattr(cfg, ratio_attr) * cfg.lr_base
@@ -202,7 +212,7 @@ class RankAAETrainer:
 
     def _train_batch(self, state: TrainState, spec, aux, alpha, epoch, rng):
         cfg = self.cfg
-        keys = jax.random.split(rng, 16)
+        keys = jax.random.split(rng, 17)
         params, stats, opt, sched = state.params, state.batch_stats, state.opt, state.sched
 
         # input noise (trainer.py:112)
@@ -343,7 +353,10 @@ class RankAAETrainer:
         _, enc_stats_dead = enc_fwd(params["enc"], stats, spec_in, keys[11])
         stats = {**stats, "enc": enc_stats_dead}
 
-        z_sample = jax.random.normal(keys[12], (cfg.batch_size, cfg.nstyle))
+        # z ~ N(0,I) at the ACTUAL batch size (reference mutual_info_loss uses
+        # spec_in.size()[0], functions.py:185 — matters for the trailing
+        # partial batch under drop_last=False)
+        z_sample = jax.random.normal(keys[12], (spec.shape[0], cfg.nstyle))
 
         def mi_loss(sub):
             spec_gen, dec_stats = dec_fwd(sub["dec"], stats, z_sample, keys[13])
@@ -365,7 +378,7 @@ class RankAAETrainer:
             def sm_loss(sub):
                 styles, enc_stats = enc_fwd(params["enc"], stats, spec_in, keys[15])
                 s2 = {**stats, "enc": enc_stats}
-                spec_out, dec_stats = dec_fwd(sub["dec"], s2, styles, keys[10])
+                spec_out, dec_stats = dec_fwd(sub["dec"], s2, styles, keys[16])
                 loss = smoothness_loss(spec_out, GAU_KERNEL_SIZE)
                 return loss, {**s2, "dec": dec_stats}
 
@@ -470,10 +483,16 @@ class RankAAETrainer:
             epoch.astype(jnp.float32) / cfg.max_epoch, cfg.alpha_flat_step, cfg.alpha_limit
         ) if cfg.gradient_reversal else jnp.float32(0.0)
 
-        # permuted, wrap-padded batch index matrix (static shape)
+        # Reference batch semantics (DataLoader shuffle + drop_last=False,
+        # dataloader.py:66-70): a permutation sliced into full batches plus
+        # one smaller trailing batch.  Both shapes are static, so the full
+        # batches run as a lax.scan and the trailing partial batch is one
+        # unrolled _train_batch call at its own (smaller) shape — no
+        # wrap-padded duplicate samples, and BN batch statistics on the
+        # trailing batch are computed over exactly its rows, as in torch.
         perm = jax.random.permutation(k_perm, self.n_train)
-        pad = self.n_batch * cfg.batch_size - self.n_train
-        idx = jnp.concatenate([perm, perm[:pad]]).reshape(self.n_batch, cfg.batch_size)
+        n_full = self.n_train // cfg.batch_size
+        rem = self.n_train - n_full * cfg.batch_size
 
         def batch_step(carry, batch):
             st = carry
@@ -485,11 +504,19 @@ class RankAAETrainer:
             )
             return st, losses
 
-        state, train_losses = jax.lax.scan(
-            batch_step, state, (jnp.arange(self.n_batch), idx)
-        )
-        last = jax.tree_util.tree_map(lambda x: x[-1], train_losses)
-        avg_mi = jnp.mean(train_losses["mi"])
+        mi_sum = jnp.float32(0.0)
+        last = None
+        if n_full > 0:
+            idx = perm[: n_full * cfg.batch_size].reshape(n_full, cfg.batch_size)
+            state, train_losses = jax.lax.scan(
+                batch_step, state, (jnp.arange(n_full), idx)
+            )
+            last = jax.tree_util.tree_map(lambda x: x[-1], train_losses)
+            mi_sum = jnp.sum(train_losses["mi"])
+        if rem > 0:
+            state, last = batch_step(state, (jnp.int32(n_full), perm[n_full * cfg.batch_size:]))
+            mi_sum = mi_sum + last["mi"]
+        avg_mi = mi_sum / self.n_batch
 
         z_val, val_losses = self._validate(state, data, alpha, k_val)
 

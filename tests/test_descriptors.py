@@ -73,6 +73,28 @@ def test_intensity_at_relative_energy():
     assert key in sd.other and np.isfinite(sd.other[key])
 
 
+def test_functional_core_and_batch_api():
+    from rankaae_tpu.utils.descriptors import (
+        SpectrumView, extract_descriptors, extract_descriptors_batch,
+        flatten_descriptors,
+    )
+
+    grid, spec = _synthetic_spectrum()
+    view = SpectrumView.build(grid, spec)
+    nested = extract_descriptors(view)
+    assert abs(nested["main_peak"]["position"] - 5500.0) < 2.0
+    assert abs(nested["pit"]["position"] - 5530.0) < 4.0
+    flat = flatten_descriptors(nested)
+    assert "edge_intensity" not in flat and "edge_position" in flat
+
+    # batch API over an (N, L) matrix; one garbage row must not abort it
+    specs = np.stack([spec, spec * 1.1, np.zeros_like(spec)])
+    rows = extract_descriptors_batch(grid, specs)
+    assert len(rows) == 3
+    assert abs(rows[0]["main_peak_position"] - 5500.0) < 2.0
+    assert rows[1]["main_peak_intensity"] > rows[0]["main_peak_intensity"]
+
+
 def test_plot_smoke():
     import matplotlib
 
