@@ -7,6 +7,7 @@ plots stay on host (numpy/scipy/sklearn/matplotlib — same as the reference).
 """
 from __future__ import annotations
 
+import dataclasses
 import math
 import os
 import pickle
@@ -316,85 +317,131 @@ def load_evaluations(evaluation_path="./report_model_evaluations.pkl"):
         return pickle.load(f)
 
 
-def sort_all_models(result_dict, sort_score=None, plot_score=False, ascending=True,
-                    top_n=None, true_value=True):
-    """Score-matrix ranking + optional seaborn heatmap
-    (reference ``analysis.py:130-231``)."""
-    score_names = [
-        "Inter-style Corr",
-        "Reconstuction Err",
-        "Style_1 - CT Corr",
-        "Style_2 - CN Corr",
-        "Style_3 - OCN Corr",
-        "Style_4 - Rstd Corr",
-        "Style_5 - OO Corr",
-    ]
-    scores, jobs = [], []
-    for job, result in result_dict.items():
-        jobs.append(job)
-        score = [result["Inter-style Corr"], result["Reconstruct Err"][0]]
-        for i in range(5):
-            try:
-                a = result["Style-descriptor Corr"][i]
-                score.append(a["F1 score"] if i == 1 else a["Spearman"])
-            except (KeyError, TypeError):
-                score.append(0)
-        scores.append(score)
+# Heatmap row labels are an output contract with the reference's figures,
+# including the reference's misspelling of the reconstruction-error row
+# ("Reconstuction Err", reference analysis.py:137) — kept verbatim so
+# selection heatmaps diff cleanly against reference-generated ones.
+SELECTION_COLUMNS = (
+    "Inter-style Corr",
+    "Reconstuction Err",
+    "Style_1 - CT Corr",
+    "Style_2 - CN Corr",
+    "Style_3 - OCN Corr",
+    "Style_4 - Rstd Corr",
+    "Style_5 - OO Corr",
+)
 
-    jobs = np.array(jobs)
-    scores = np.array(scores, dtype=float)
-    # failure masking (net-new; SURVEY.md §5 failure-detection row): a trial
-    # that diverged to NaN/inf must rank last, not poison the z-scores
-    failed = ~np.isfinite(scores).all(axis=1)
-    finite = scores[~failed] if (~failed).any() else np.zeros((1, scores.shape[1]))
-    mu_std = np.stack((finite.mean(axis=0), finite.std(axis=0)), axis=1)
+
+@dataclasses.dataclass
+class ModelSelection:
+    """The ranked trial-selection table: raw metric matrix, its per-column
+    z-standardization, the scalar selection score, and the display order."""
+
+    jobs: np.ndarray       # (n,) job names
+    raw: np.ndarray        # (n, 7) metric matrix in SELECTION_COLUMNS order
+    z: np.ndarray          # (n, 7) z-scores (failed rows zeroed)
+    final: np.ndarray      # (n,) selection score per job
+    failed: np.ndarray     # (n,) bool — non-finite metrics (diverged trial)
+    col_mean: np.ndarray   # (7,) per-column mean over healthy trials
+    col_std: np.ndarray    # (7,) per-column std over healthy trials
+    order: np.ndarray      # (n,) row indices, display order (failed last)
+
+    def take(self, attr: str) -> np.ndarray:
+        return getattr(self, attr)[self.order]
+
+
+def _metric_row(result: Dict) -> list:
+    """One job's metrics in SELECTION_COLUMNS order.  Missing correlation
+    entries count as 0 (a style that never produced a usable fit)."""
+    row = [result["Inter-style Corr"], result["Reconstruct Err"][0]]
+    for i in range(5):
+        try:
+            entry = result["Style-descriptor Corr"][i]
+            row.append(entry["F1 score"] if i == 1 else entry["Spearman"])
+        except (KeyError, TypeError):
+            row.append(0)
+    return row
+
+
+def select_models(result_dict, sort_score=None, ascending=True) -> ModelSelection:
+    """Build the selection table: standardize columns over healthy trials,
+    apply the scoring rule, and order jobs for display.
+
+    Failure masking (net-new vs the reference; SURVEY.md §5 failure-detection
+    row): trials with non-finite metrics are excluded from the column
+    statistics, zeroed in the z matrix, and ALWAYS ordered last regardless of
+    sort direction.
+    """
+    jobs = np.array(list(result_dict.keys()))
+    raw = np.array([_metric_row(r) for r in result_dict.values()], dtype=float)
+
+    failed = ~np.isfinite(raw).all(axis=1)
+    healthy = raw[~failed] if (~failed).any() else np.zeros((1, raw.shape[1]))
+    col_mean, col_std = healthy.mean(axis=0), healthy.std(axis=0)
     with np.errstate(invalid="ignore", divide="ignore"):
-        z_scores = (scores - mu_std[:, 0]) / mu_std[:, 1]
-    z_scores[:, mu_std[:, 1] == 0] = 0
-    z_scores[failed] = 0
+        z = (raw - col_mean) / col_std
+    z[:, col_std == 0] = 0
+    z[failed] = 0
 
     if callable(sort_score):
-        final_score = sort_score(z_scores)
+        final = np.asarray(sort_score(z), dtype=float)
     elif isinstance(sort_score, int) and sort_score >= 0:
-        final_score = scores[:, sort_score]
+        final = raw[:, sort_score]
     else:
-        final_score = np.arange(len(scores))
+        final = np.arange(len(raw), dtype=float)
 
-    final_score = np.where(np.isfinite(final_score), final_score, -np.inf)
-    if failed.any():
-        final_score = np.where(failed, -np.inf, final_score)
-    rank = np.argsort(final_score)
-    if (sort_score is not None) and (not ascending):
-        rank = rank[::-1]
+    # order healthy jobs by score (direction per caller), then append the
+    # failed / non-finite-scored ones — they can never win selection
+    unusable = failed | ~np.isfinite(final)
+    usable_idx = np.flatnonzero(~unusable)
+    by_score = usable_idx[np.argsort(final[usable_idx])]
+    if sort_score is not None and not ascending:
+        by_score = by_score[::-1]
+    order = np.concatenate([by_score, np.flatnonzero(unusable)])
 
-    ranked_scores = scores[rank]
-    ranked_final = final_score[rank]
-    ranked_jobs = jobs[rank]
-    ranked_z = z_scores[rank]
+    # the sentinel a failed trial reports as its Score: the worst value for
+    # the effective direction (ascending -> +inf sorts last, else -inf)
+    sentinel = np.inf if (sort_score is None or ascending) else -np.inf
+    final = np.where(unusable, sentinel, final)
+    return ModelSelection(jobs=jobs, raw=raw, z=z, final=final, failed=failed,
+                          col_mean=col_mean, col_std=col_std, order=order)
 
-    for i, (job, score) in enumerate(zip(ranked_jobs, ranked_final)):
+
+def selection_heatmap(sel: ModelSelection, top_n=None, true_value=True):
+    """Render the top-n selection table as the reference-format seaborn
+    heatmap (z-colored, annotated with raw or z values)."""
+    n = len(sel.order) if top_n is None else min(top_n, len(sel.order))
+    z_t = sel.take("z")[:n].T
+    annot = sel.take("raw")[:n].T if true_value else z_t
+    fig, ax = plt.subplots(figsize=(n, len(SELECTION_COLUMNS)))
+    ax.autoscale(enable=True)
+    sns.heatmap(
+        z_t, vmin=-3, vmax=3, cmap="Blues", cbar=True, annot=annot, ax=ax,
+        yticklabels=[f"{name}\n{m:.3f}+-{s:.3f}" for name, m, s
+                     in zip(SELECTION_COLUMNS, sel.col_mean, sel.col_std)],
+        xticklabels=[f"{job}: {score:.2f} " for job, score
+                     in zip(sel.take("jobs")[:n], sel.take("final")[:n])],
+    )
+    ax.set_yticklabels(ax.get_yticklabels(), rotation=0)
+    ax.set_xticklabels(ax.get_xticklabels(), rotation=45, ha="left", va="bottom")
+    ax.tick_params(labelbottom=False, labeltop=True, axis="both", length=0,
+                   labelsize=15)
+    return fig
+
+
+def sort_all_models(result_dict, sort_score=None, plot_score=False, ascending=True,
+                    top_n=None, true_value=True):
+    """Reference-compatible facade over :func:`select_models` +
+    :func:`selection_heatmap` (behavior contract: ``analysis.py:130-231``):
+    annotates each job with Rank/Score and returns
+    (result_dict, ranked_jobs, fig)."""
+    sel = select_models(result_dict, sort_score=sort_score, ascending=ascending)
+    for i, (job, score) in enumerate(zip(sel.take("jobs"), sel.take("final"))):
         result_dict[job]["Rank"] = i
         result_dict[job]["Score"] = round(float(score), 4)
-
-    fig = None
-    if plot_score:
-        if top_n is None or top_n > len(ranked_z):
-            top_n = len(ranked_z)
-        fig, ax = plt.subplots(figsize=(top_n, scores.shape[1]))
-        ax.autoscale(enable=True)
-        sns.heatmap(
-            ranked_z[:top_n].T,
-            vmin=-3, vmax=3, cmap="Blues", cbar=True,
-            annot=ranked_z[:top_n].T if not true_value else ranked_scores[:top_n].T,
-            ax=ax,
-            yticklabels=[f"{n}\n{ms[0]:.3f}+-{ms[1]:.3f}" for n, ms in zip(score_names, mu_std)],
-            xticklabels=[f"{ranked_jobs[i]}: {ranked_final[i]:.2f} " for i in range(top_n)],
-        )
-        ax.set_yticklabels(ax.get_yticklabels(), rotation=0)
-        ax.set_xticklabels(ax.get_xticklabels(), rotation=45, ha="left", va="bottom")
-        ax.tick_params(labelbottom=False, labeltop=True, axis="both", length=0, labelsize=15)
-
-    return result_dict, ranked_jobs, fig
+    fig = selection_heatmap(sel, top_n=top_n, true_value=true_value) \
+        if plot_score else None
+    return result_dict, sel.take("jobs"), fig
 
 
 def qqplot_normal(x, ax=None, grid=True, seed=None):

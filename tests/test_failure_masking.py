@@ -32,6 +32,22 @@ def test_nan_trial_ranks_last():
     assert out["job_3"]["Rank"] == 0
 
 
+def test_nan_trial_ranks_last_ascending_too():
+    """Failed trials must rank last regardless of sort direction (round-1
+    advisor finding: the -inf sentinel put them FIRST under ascending=True)."""
+    results = {
+        "job_1": _fake_result(0.05, 0.8),
+        "job_2": _fake_result(float("nan"), float("nan")),
+        "job_3": _fake_result(0.04, 0.9),
+    }
+    out, ranked_jobs, _ = sort_all_models(
+        results, sort_score=sorting_algorithm, ascending=True
+    )
+    assert ranked_jobs[-1] == "job_2"
+    assert out["job_2"]["Rank"] == 2
+    assert out["job_2"]["Score"] == float("inf")
+
+
 def test_trial_waves_concat(tiny_data_import):
     """trials > max_resident runs in waves; results concatenate seamlessly."""
     from rankaae_tpu.parallel.trials import run_trials
