@@ -205,10 +205,13 @@ kendall_constraint_pallas.defvjp(_kendall_fwd, _kendall_bwd)
 
 
 def kendall_constraint_auto(descriptors, styles, activate: bool = False):
-    """Pick the fused kernel on TPU when shapes allow, else the XLA version."""
+    """Pick the fused kernel on TPU when the batch fills at least one
+    row-block (B >= block size); small batches — e.g. the trailing partial
+    batch or tiny validation sets — would pad to a mostly-masked block and
+    waste work, so they take the O(B*K) XLA rank-trick path instead."""
     from rankaae_tpu.ops.kendall import kendall_constraint
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    if on_tpu or _INTERPRET:
+    if (on_tpu or _INTERPRET) and styles.shape[0] >= _TB:
         return kendall_constraint_pallas(descriptors, styles, activate)
     return kendall_constraint(descriptors, styles, activate=activate)

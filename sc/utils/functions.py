@@ -1,13 +1,26 @@
-"""Shim for ``sc.utils.functions`` — the loss library.
+"""Shim for ``sc.utils.functions`` — the loss library with the REFERENCE
+signatures (``/root/reference/sc/utils/functions.py``).
 
-The rankaae_tpu losses are pure JAX functions; torch-specific arguments of
-the reference signatures (``device``, ``mse_loss``/``nll_loss`` modules) are
-accepted and ignored where harmless.
+Two families:
+
+* Array-only losses (kendall / recon / smoothness / alpha): thin adapters
+  over the pure-JAX implementations in ``rankaae_tpu.ops``; torch-specific
+  arguments (``device``, loss-module objects) are accepted and ignored.
+* Model-calling losses (adversarial / discriminator / generator /
+  mutual_info): reference-style user code passes torch ``nn.Module``s, so
+  these are implemented directly in torch with the reference's math —
+  drop-in for code that imported them from ``sc.utils.functions``.
+  Two documented deviations from the reference (PARITY.md ledger #4):
+  ``generator_loss`` labels encoded styles as class 1 ("look like the
+  prior") instead of the reference's 0, which optimized the opposite
+  direction; label dtypes follow the supplied ``loss_fn`` (float for BCE).
 """
+import torch
+import torch.nn as nn
+
 from rankaae_tpu.ops.kendall import kendall_constraint as _kendall
 from rankaae_tpu.ops.losses import (  # noqa: F401
     alpha_schedule as alpha,
-    mutual_info_loss,
     recon_loss as _recon,
     smoothness_loss as _smooth,
 )
@@ -26,3 +39,73 @@ def recon_loss(spec_in, spec_out, scale=False, mse_loss=None, device=None):
 def smoothness_loss(spec_out, gs_kernel_size, mse_loss=None, device=None):
     """Reference signature (``functions.py:194``); torch args ignored."""
     return _smooth(spec_out, gs_kernel_size)
+
+
+def _as_float_labels(labels, loss_fn):
+    """BCE-family losses need float targets; NLL/CE need long (the reference
+    always built long labels, which crashes its own BCE path)."""
+    if isinstance(loss_fn, (nn.BCELoss, nn.BCEWithLogitsLoss)):
+        return labels.float()
+    return labels
+
+
+def adversarial_loss(spec_in, styles, D, alpha, batch_size=100, nll_loss=None,
+                     device=None):
+    """GRL-path adversarial loss, reference signature (``functions.py:109``):
+    D(z~N(0,I)) labeled 1, D(styles) labeled 0; sum of both terms."""
+    if device is None:
+        device = torch.device("cpu")
+    if nll_loss is None:
+        nll_loss = nn.NLLLoss().to(device)
+    nstyle = styles.size()[1]
+    z_real = torch.randn(batch_size, nstyle, requires_grad=True, device=device)
+    real_pred = D(z_real, alpha)
+    fake_pred = D(styles, alpha)
+    ones = torch.ones(batch_size, dtype=torch.float32, device=device)
+    zeros = torch.zeros(spec_in.size()[0], dtype=torch.float32, device=device)
+    return nll_loss(real_pred.squeeze(), ones) + nll_loss(fake_pred.squeeze(), zeros)
+
+
+def discriminator_loss(styles, D, batch_size=100, loss_fn=None, device=None):
+    """Non-GRL D step, reference signature (``functions.py:135``)."""
+    if device is None:
+        device = torch.device("cpu")
+    if loss_fn is None:
+        loss_fn = nn.CrossEntropyLoss().to(device)
+    z_real = torch.randn(batch_size, styles.size()[1], requires_grad=True,
+                         device=device)
+    real_pred = D(z_real, None)
+    fake_pred = D(styles.detach(), None)
+    ones = _as_float_labels(
+        torch.ones(batch_size, dtype=torch.long, device=device), loss_fn)
+    zeros = _as_float_labels(
+        torch.zeros(styles.size()[0], dtype=torch.long, device=device), loss_fn)
+    return loss_fn(real_pred.squeeze(), ones) + loss_fn(fake_pred.squeeze(), zeros)
+
+
+def generator_loss(spec_in, encoder, D, loss_fn=None, device=None):
+    """Non-GRL G step, reference signature (``functions.py:158``).  Deviation:
+    styles are labeled 1 (generator wants D to call them real) — the
+    reference's 0 label optimizes the encoder AWAY from the prior and is dead
+    code upstream (every shipped config uses gradient reversal)."""
+    if device is None:
+        device = torch.device("cpu")
+    if loss_fn is None:
+        loss_fn = nn.CrossEntropyLoss().to(device)
+    styles = encoder(spec_in)
+    pred = D(styles, None)
+    ones = _as_float_labels(
+        torch.ones(styles.size()[0], dtype=torch.long, device=device), loss_fn)
+    return loss_fn(pred.squeeze(), ones)
+
+
+def mutual_info_loss(spec_in, styles, encoder, decoder, mse_loss=None,
+                     device=None):
+    """Latent-cycle loss, reference signature (``functions.py:174``):
+    z ~ N(0,I); MSE(encoder(decoder(z)), z)."""
+    if device is None:
+        device = torch.device("cpu")
+    if mse_loss is None:
+        mse_loss = nn.MSELoss().to(device)
+    z = torch.randn(spec_in.size()[0], styles.size()[1], device=device)
+    return mse_loss(encoder(decoder(z)), z)

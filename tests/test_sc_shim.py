@@ -40,6 +40,45 @@ d = jnp.asarray(np.random.default_rng(0).normal(size=(32, 5)).astype("float32"))
 s = jnp.asarray(np.random.default_rng(1).normal(size=(32, 5)).astype("float32"))
 val = float(kendall_constraint(d, s, activate=True, device="ignored"))
 assert abs(val) < 1.0
+
+# the model-calling losses accept torch modules with the reference signatures
+import torch
+import torch.nn as nn
+from sc.utils.functions import (
+    adversarial_loss, discriminator_loss, generator_loss, mutual_info_loss,
+)
+from sc.utils.parallel import ipcluster, kill_ipypar_pcocesses
+
+torch.manual_seed(0)
+enc_t = nn.Linear(16, 5)
+dec_t = nn.Linear(5, 16)
+
+class TinyD(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.lin = nn.Linear(5, 2)
+    def forward(self, x, beta):
+        return torch.log_softmax(self.lin(x), dim=1)
+
+D = TinyD()
+spec_t = torch.randn(8, 16)
+styles_t = enc_t(spec_t)
+bce = nn.BCEWithLogitsLoss()
+
+v = adversarial_loss(spec_t, styles_t, lambda z, a: z.sum(dim=1, keepdim=True),
+                     0.5, batch_size=8, nll_loss=bce)
+assert torch.isfinite(v), v
+v = discriminator_loss(styles_t, D, batch_size=8)
+assert torch.isfinite(v) and v.requires_grad
+v = generator_loss(spec_t, enc_t, D)
+assert torch.isfinite(v) and v.requires_grad
+v = mutual_info_loss(spec_t, styles_t, enc_t, dec_t)
+assert torch.isfinite(v) and v.requires_grad
+
+# cluster lifecycle helpers: logged no-ops with the reference signatures
+ipcluster("start", n=8, ipypar_path="/tmp/nonexistent")
+ipcluster("stop")
+kill_ipypar_pcocesses(user="nobody")
 print("SC_SHIM_OK")
 """
 
