@@ -15,85 +15,25 @@ against the CPU reference, which is far slower; GPU is the harder bar).
 
 Prints ONE JSON line:
   {"metric": "spectra_per_sec_per_chip_training", "value": N,
-   "unit": "spectra/s/chip", "vs_baseline": N}
+   "unit": "spectra/s/chip", "vs_baseline": N, "flops_per_sec": N,
+   "mfu_pct": N}
+
+``--form normal|compact`` benchmarks the conv autoencoder families instead
+(at ``matmul_precision: default`` — the deep "normal" program does not fit
+the remote compile helper at ``highest``); the JSON metric name is suffixed
+with the form.
 """
+import argparse
 import json
 import sys
 import time
 
 import numpy as np
 
-
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from rankaae_tpu.utils.profiling import enable_compilation_cache
-
-    enable_compilation_cache()
-
-    from rankaae_tpu.data.synthetic import make_synthetic_xanes
-    from rankaae_tpu.train.trainer import RankAAETrainer, TrialData
-    from rankaae_tpu.utils.config import TrainConfig
-
-    EPOCHS = 50
-    TRIALS = 32
-    N_ROWS = 7000
-
-    cfg = TrainConfig.from_yaml("/root/reference/example/fix_config.yaml").replace(
-        max_epoch=EPOCHS, trials=TRIALS
-    ) if _reference_available() else _fallback_cfg(EPOCHS, TRIALS)
-
-    aux, spec, _ = make_synthetic_xanes(n_rows=N_ROWS, dim=cfg.dim_in, seed=0)
-    n_train = int(N_ROWS * 0.7)
-    n_val = int(N_ROWS * 0.15)
-    data = TrialData(
-        train_spec=jnp.asarray(spec[:n_train], jnp.float32),
-        train_aux=jnp.asarray(aux[:n_train], jnp.float32),
-        val_spec=jnp.asarray(spec[n_train:n_train + n_val], jnp.float32),
-        val_aux=jnp.asarray(aux[n_train:n_train + n_val], jnp.float32),
-    )
-
-    trainer = RankAAETrainer(cfg, n_train=n_train, n_val=n_val)
-    keys = jax.random.split(jax.random.PRNGKey(0), TRIALS)
-    states = jax.jit(jax.vmap(trainer.init_state))(keys)
-
-    run = jax.jit(jax.vmap(trainer.run, in_axes=(0, None)))
-    t0 = time.time()
-    lowered = run.lower(states, data)
-    compiled = lowered.compile()
-    compile_s = time.time() - t0
-    print(f"compile: {compile_s:.1f}s", file=sys.stderr)
-
-    # timed execution (compile excluded); best of 3 to damp the tunneled
-    # chip's dispatch-latency variance
-    walls = []
-    for _ in range(3):
-        t0 = time.time()
-        out_states, logs = compiled(states, data)
-        # np.asarray forces full host materialization; block_until_ready
-        # does not reliably block on the experimental axon platform
-        np.asarray(logs["combined"])
-        walls.append(time.time() - t0)
-    wall = min(walls)
-    print(f"walls: {[round(w, 2) for w in walls]}", file=sys.stderr)
-
-    final_recon = np.asarray(logs["val_recon"])[:, -1]
-    spectra_per_sec = TRIALS * n_train * EPOCHS / wall
-    baseline = 4900 * 1500 / 2947.0  # reference GPU fixture throughput
-    result = {
-        "metric": "spectra_per_sec_per_chip_training",
-        "value": round(float(spectra_per_sec), 1),
-        "unit": "spectra/s/chip",
-        "vs_baseline": round(float(spectra_per_sec / baseline), 2),
-    }
-    print(
-        f"wall: {wall:.2f}s for {TRIALS} trials x {EPOCHS} epochs "
-        f"(batch {cfg.batch_size}, {n_train} train rows); "
-        f"median final val recon MSE: {np.median(final_recon):.5f}",
-        file=sys.stderr,
-    )
-    print(json.dumps(result))
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 on the MXU.  MFU below is vs this
+# number; at matmul_precision "highest" the MXU runs f32-accurate passes so
+# the achievable ceiling is lower — MFU is then conservative.
+V5E_PEAK_FLOPS = 197e12
 
 
 def _reference_available():
@@ -117,6 +57,114 @@ def _fallback_cfg(epochs, trials):
         kendall_activation=True, epoch_stop_smooth=1500,
         sch_factor=0.1, sch_patience=100,
     )
+
+
+def _exec_flops(compiled):
+    """Total FLOPs of one executable invocation from XLA's cost analysis
+    (covers every epoch and trial — the whole run is one program); None when
+    the backend does not report it."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def bench(form: str, trials: int, epochs: int, n_rows: int):
+    import jax
+    import jax.numpy as jnp
+
+    from rankaae_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from rankaae_tpu.data.synthetic import make_synthetic_xanes
+    from rankaae_tpu.train.trainer import RankAAETrainer, TrialData
+    from rankaae_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig.from_yaml("/root/reference/example/fix_config.yaml").replace(
+        max_epoch=epochs, trials=trials
+    ) if _reference_available() else _fallback_cfg(epochs, trials)
+    if form != "FC":
+        # conv families: the "normal" program does not fit the remote compile
+        # helper at matmul_precision "highest" (README known-gaps); "default"
+        # is also what bf16-MXU production runs would use
+        cfg = cfg.replace(ae_form=form, matmul_precision="default")
+
+    aux, spec, _ = make_synthetic_xanes(n_rows=n_rows, dim=cfg.dim_in, seed=0)
+    n_train = int(n_rows * 0.7)
+    n_val = int(n_rows * 0.15)
+    data = TrialData(
+        train_spec=jnp.asarray(spec[:n_train], jnp.float32),
+        train_aux=jnp.asarray(aux[:n_train], jnp.float32),
+        val_spec=jnp.asarray(spec[n_train:n_train + n_val], jnp.float32),
+        val_aux=jnp.asarray(aux[n_train:n_train + n_val], jnp.float32),
+    )
+
+    trainer = RankAAETrainer(cfg, n_train=n_train, n_val=n_val)
+    keys = jax.random.split(jax.random.PRNGKey(0), trials)
+    states = jax.jit(jax.vmap(trainer.init_state))(keys)
+
+    run = jax.jit(jax.vmap(trainer.run, in_axes=(0, None)))
+    t0 = time.time()
+    compiled = run.lower(states, data).compile()
+    print(f"compile: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # timed execution (compile excluded); best of 3 to damp the tunneled
+    # chip's dispatch-latency variance
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        out_states, logs = compiled(states, data)
+        # np.asarray forces full host materialization; block_until_ready
+        # does not reliably block on the experimental axon platform
+        np.asarray(logs["combined"])
+        walls.append(time.time() - t0)
+    wall = min(walls)
+    print(f"walls: {[round(w, 2) for w in walls]}", file=sys.stderr)
+
+    final_recon = np.asarray(logs["val_recon"])[:, -1]
+    spectra_per_sec = trials * n_train * epochs / wall
+    baseline = 4900 * 1500 / 2947.0  # reference GPU fixture throughput
+
+    suffix = "" if form == "FC" else f"_{form}"
+    result = {
+        "metric": f"spectra_per_sec_per_chip_training{suffix}",
+        "value": round(float(spectra_per_sec), 1),
+        "unit": "spectra/s/chip",
+        "vs_baseline": round(float(spectra_per_sec / baseline), 2),
+    }
+    flops = _exec_flops(compiled)
+    if flops is not None:
+        flops_per_sec = flops / wall
+        result["flops_per_sec"] = round(flops_per_sec, 1)
+        result["mfu_pct"] = round(100.0 * flops_per_sec / V5E_PEAK_FLOPS, 3)
+        print(
+            f"XLA cost analysis: {flops:.3e} FLOPs/run -> "
+            f"{flops_per_sec/1e12:.3f} TFLOP/s = {result['mfu_pct']:.3f}% of "
+            "v5e bf16 peak (tiny model: vector/HBM-bound by design)",
+            file=sys.stderr,
+        )
+    print(
+        f"wall: {wall:.2f}s for {trials} trials x {epochs} epochs "
+        f"(form {cfg.ae_form}, batch {cfg.batch_size}, {n_train} train rows); "
+        f"median final val recon MSE: {np.median(final_recon):.5f}",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--form", default="FC", choices=["FC", "normal", "compact"])
+    ap.add_argument("--trials", type=int, default=32)
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--rows", type=int, default=7000)
+    args = ap.parse_args()
+    bench(args.form, args.trials, args.epochs, args.rows)
 
 
 if __name__ == "__main__":

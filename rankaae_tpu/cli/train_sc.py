@@ -73,9 +73,13 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
     if checkpoint_dir:
         from rankaae_tpu.utils.logging import append_losses_csv
 
-        def on_segment(e0, e1, seg_logs):
+        last_best = {}
+
+        def on_segment(e0, e1, seg_logs, states):
             # incremental losses.csv: rows survive a crash and resume
             # continues appending where the last segment stopped
+            best_epoch = np.asarray(states.best_epoch)
+            best_combined = np.asarray(states.best_combined)
             for i in range(cfg.trials):
                 job_dir = os.path.join(work_dir, "training", f"job_{i+1}")
                 os.makedirs(job_dir, exist_ok=True)
@@ -84,6 +88,26 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
                 append_losses_csv(
                     os.path.join(job_dir, "losses.csv"), trial_logs, e0
                 )
+                # per-improvement checkpoint files, the reference's
+                # checkpoints/epoch_*_loss_*.pt cadence (trainer.py:297-301)
+                # at segment granularity: when this segment produced a new
+                # best, a new file accumulates alongside earlier ones
+                if np.isfinite(best_combined[i]) and \
+                        best_combined[i] < last_best.get(i, np.inf):
+                    last_best[i] = float(best_combined[i])
+                    take = lambda tree: jax.tree_util.tree_map(
+                        lambda x: np.asarray(x[i]), tree)
+                    save_model_bundle(
+                        os.path.join(
+                            job_dir, "checkpoints",
+                            f"epoch_{int(best_epoch[i]):06d}"
+                            f"_loss_{best_combined[i]:07.6g}.mpk",
+                        ),
+                        take(states.best_params), take(states.best_batch_stats),
+                        cfg,
+                        extra={"best_epoch": int(best_epoch[i]),
+                               "best_combined": float(best_combined[i])},
+                    )
 
     try:
         results = run_trials(cfg, data, seed=seed,

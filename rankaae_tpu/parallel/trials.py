@@ -146,9 +146,10 @@ def _run_wave(
     checkpoints (``checkpoint_every`` epochs) that ``resume_trials`` can
     restart from — fault tolerance the reference lacks (SURVEY.md §5).
 
-    ``on_segment(e0, e1, seg_logs)`` is invoked after each segment with the
-    host-side stacked logs for epochs [e0, e1) — used by the CLI for
-    incremental losses.csv writing."""
+    ``on_segment(e0, e1, seg_logs, states)`` is invoked after each segment
+    with the host-side stacked logs for epochs [e0, e1) and the current
+    (device) train states — used by the CLI for incremental losses.csv rows
+    and per-improvement checkpoint files."""
     import json
     import os
 
@@ -203,7 +204,7 @@ def _run_wave(
         log_parts.append(seg_host)
         if on_segment is not None:
             on_segment(e0, e1, jax.tree_util.tree_map(
-                lambda x: x[:n_trials], seg_host))
+                lambda x: x[:n_trials], seg_host), states)
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
             save_train_state(os.path.join(checkpoint_dir, "trial_state.mpk"), states)

@@ -121,3 +121,13 @@ def test_incremental_losses_csv(small_data, tmp_path):
     assert lines[1].startswith("0,\t")
     assert lines[2].startswith("10,\t")
     assert lines[3].startswith("20,\t")
+
+    # per-improvement checkpoint files accumulate (reference
+    # checkpoints/epoch_*_loss_* cadence, at segment granularity): with 3
+    # segments there are 1..3 improvement files plus the post-run best
+    for job in ("job_1", "job_2"):
+        ckpts = sorted((wd / "training" / job / "checkpoints").glob("epoch_*.mpk"))
+        assert len(ckpts) >= 1
+        # epoch stamps are strictly increasing with later (better) bests
+        epochs = [int(p.name.split("_")[1]) for p in ckpts]
+        assert epochs == sorted(epochs)
