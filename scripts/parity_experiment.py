@@ -234,6 +234,8 @@ def main():
     ap.add_argument("--skip-reference", action="store_true")
     ap.add_argument("--platform", default=None,
                     help="jax platform for ours (e.g. cpu for a smoke run)")
+    ap.add_argument("--out", default="PARITY_RESULTS.md",
+                    help="output markdown filename (repo-root relative)")
     args = ap.parse_args()
 
     from rankaae_tpu.data.synthetic import make_synthetic_xanes_csv
@@ -311,7 +313,7 @@ def main():
         "Parity is statistical (independent RNG streams); the BASELINE.json "
         "gate is matched recon MSE + Spearman rho.",
     ]
-    out = os.path.join(REPO, "PARITY_RESULTS.md")
+    out = os.path.join(REPO, args.out)
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}; median ratio {med_ratio:.2f}x")
