@@ -60,8 +60,12 @@ from rankaae_tpu.optim.optimizers import Optimizer, make_optimizer
 from rankaae_tpu.optim.plateau import PlateauState, plateau_init, plateau_update
 from rankaae_tpu.utils.config import TrainConfig
 
-# reference trainer.py:35-36
-METRIC_WEIGHTS = jnp.array([1.0, -1.0, -0.01, -1.0, -1.0], jnp.float32)
+# reference trainer.py:35-36.  Kept as host numpy: a module-level jnp.array
+# would initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize (it must run before any backend touch).
+import numpy as _np
+
+METRIC_WEIGHTS = _np.array([1.0, -1.0, -0.01, -1.0, -1.0], _np.float32)
 GAU_KERNEL_SIZE = 17
 
 # optimizer name -> (param subset keys, lr ratio attr, uses custom betas,

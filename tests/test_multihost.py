@@ -1,0 +1,114 @@
+"""Multi-host wiring: the ``rankaae_tpu.parallel.multihost`` recipe, for real.
+
+Two OS processes form a 2-process ``jax.distributed`` topology over CPU
+(process = host), build the global trial mesh, and run ONE real training
+epoch with the trial axis sharded across hosts — the exact scale-out path
+the module docstring documents (round-1 review: the wrapper was untested).
+"""
+import os
+import socket
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+
+# step 1 of the documented recipe: initialize() BEFORE any backend touch
+from rankaae_tpu.parallel.multihost import initialize
+pid = int(sys.argv[1])
+initialize(coordinator_address="localhost:{port}", num_processes=2,
+           process_id=pid)
+assert jax.process_count() == 2
+assert jax.device_count() == 2 and jax.local_device_count() == 1
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from rankaae_tpu.parallel.trials import trial_mesh
+from rankaae_tpu.train.trainer import RankAAETrainer, TrialData
+from rankaae_tpu.utils.config import TrainConfig
+
+# step 2: the trial mesh spans hosts
+mesh = trial_mesh(jax.devices())
+assert mesh.devices.size == 2
+
+cfg = TrainConfig(
+    max_epoch=1, batch_size=16, nstyle=6, n_aux=5, ae_form="FC", n_layers=3,
+    dim_in=32, dim_out=32, gradient_reversal=True, decoder_activation="Softplus",
+    optimizer_name="AdamW", lr_base=1e-3, epoch_stop_smooth=1,
+    kendall_activation=True,
+)
+trainer = RankAAETrainer(cfg, n_train=48, n_val=16)
+
+rng = np.random.default_rng(0)  # same on both hosts -> same global data
+data_np = TrialData(
+    train_spec=rng.standard_normal((48, 32)).astype(np.float32),
+    train_aux=rng.standard_normal((48, 5)).astype(np.float32),
+    val_spec=rng.standard_normal((16, 32)).astype(np.float32),
+    val_aux=rng.standard_normal((16, 5)).astype(np.float32),
+)
+replicated = NamedSharding(mesh, P())
+trial_sharded = NamedSharding(mesh, P("trial"))
+data = jax.tree_util.tree_map(
+    lambda x: jax.make_array_from_callback(x.shape, replicated,
+                                           lambda idx: x[idx]),
+    data_np,
+)
+
+# step 3: each host feeds its addressable lane of the stacked trial state
+local_state = jax.jit(jax.vmap(trainer.init_state))(
+    jax.random.split(jax.random.PRNGKey(pid), 1))
+local_np = jax.tree_util.tree_map(np.asarray, local_state)
+states = jax.tree_util.tree_map(
+    lambda x: jax.make_array_from_process_local_data(
+        trial_sharded, x, global_shape=(2,) + x.shape[1:]),
+    local_np,
+)
+
+@jax.jit
+def one_epoch(states, data):
+    def step(state):
+        new_state, log = trainer.epoch_step(state, jnp.int32(0), data)
+        return new_state, log["combined"]
+    return jax.vmap(step)(states)
+
+new_states, combined = one_epoch(states, data)
+
+# gather the per-trial result across hosts: 2 finite, distinct combineds
+from jax.experimental.multihost_utils import process_allgather
+all_combined = np.asarray(process_allgather(combined, tiled=True)).ravel()
+assert all_combined.shape == (2,), all_combined.shape
+assert np.all(np.isfinite(all_combined)), all_combined
+assert all_combined[0] != all_combined[1]  # different per-host seeds
+print(f"MULTIHOST_OK pid={{pid}} combined={{all_combined.tolist()}}")
+"""
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_training_epoch(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.format(repo=_REPO, port=port))
+    env = dict(os.environ)
+    # a plain 1-device-per-process CPU topology (no virtual 8-device flag)
+    env["XLA_FLAGS"] = ""
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(pid)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env, cwd=_REPO)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"MULTIHOST_OK pid={pid}" in out, out

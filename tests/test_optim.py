@@ -62,12 +62,73 @@ def test_adam_custom_betas_matches_torch(rng):
     np.testing.assert_allclose(ours["w"], theirs["w"], atol=1e-6)
 
 
-def test_radam_matches_torch_optimizer(rng):
-    ex_optim = pytest.importorskip("torch_optimizer")
+def _radam_numpy_oracle(params0, grads_seq, lr, b1=0.9, b2=0.999, eps=1e-8,
+                        weight_decay=0.0):
+    """Independent float64 transcription of torch_optimizer's RAdam (Liu et
+    al. 2020 rectification; decay applied decoupled, p -= wd*lr*p, right
+    before the step — the library's documented quirk).  Used as the oracle
+    when torch_optimizer itself is not installed."""
+    p = np.asarray(params0["w"], np.float64).copy()
+    m = np.zeros_like(p)
+    v = np.zeros_like(p)
+    rho_inf = 2.0 / (1.0 - b2) - 1.0
+    for t, g in enumerate(grads_seq, start=1):
+        g = np.asarray(g["w"], np.float64)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        beta2_t = b2 ** t
+        rho_t = rho_inf - 2.0 * t * beta2_t / (1.0 - beta2_t)
+        if weight_decay != 0.0:
+            p = p - weight_decay * lr * p
+        if rho_t > 5.0:
+            num = (rho_t - 4.0) * (rho_t - 2.0) * rho_inf
+            den = (rho_inf - 4.0) * (rho_inf - 2.0) * rho_t
+            step_size = lr * np.sqrt((1 - beta2_t) * num / den) / (1 - b1 ** t)
+            p = p - step_size * m / (np.sqrt(v) + eps)
+        else:
+            p = p - lr / (1 - b1 ** t) * m
+    return {"w": p.astype(np.float32)}
+
+
+def _adabound_numpy_oracle(params0, grads_seq, lr, b1=0.9, b2=0.999, eps=1e-8,
+                           weight_decay=0.0, final_lr=0.1, gamma=1e-3,
+                           base_lr=1e-2):
+    """Independent float64 transcription of AdaBound (Luo et al., ICLR 2019;
+    torch_optimizer semantics: L2 decay folded into the gradient, bounds
+    scale with lr/base_lr)."""
+    p = np.asarray(params0["w"], np.float64).copy()
+    m = np.zeros_like(p)
+    v = np.zeros_like(p)
+    for t, g in enumerate(grads_seq, start=1):
+        g = np.asarray(g["w"], np.float64)
+        if weight_decay != 0.0:
+            g = g + weight_decay * p
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        step_size = lr * np.sqrt(1 - b2 ** t) / (1 - b1 ** t)
+        flr = final_lr * lr / base_lr
+        lower = flr * (1.0 - 1.0 / (gamma * t + 1.0))
+        upper = flr * (1.0 + 1.0 / (gamma * t))
+        eff = np.clip(step_size / (np.sqrt(v) + eps), lower, upper)
+        p = p - eff * m
+    return {"w": p.astype(np.float32)}
+
+
+@pytest.mark.parametrize("wd", [0.0, 0.01])
+def test_radam_matches_torch_optimizer_or_oracle(rng, wd):
+    """Against the real torch_optimizer when installed, else the independent
+    float64 transcription above — either way the test RUNS (round-1 review:
+    the importorskip left this path unexercised in-env)."""
     params0 = {"w": rng.normal(size=(5, 4)).astype(np.float32)}
     grads = [{"w": rng.normal(size=(5, 4)).astype(np.float32)} for _ in range(12)]
-    ours = _run_ours(make_radam(), params0, grads, 1e-2)
-    theirs = _run_torch(ex_optim.RAdam, params0, grads, lr=1e-2)
+    ours = _run_ours(make_radam(weight_decay=wd), params0, grads, 1e-2)
+    try:
+        import torch_optimizer as ex_optim
+
+        theirs = _run_torch(ex_optim.RAdam, params0, grads, lr=1e-2,
+                            weight_decay=wd)
+    except ImportError:
+        theirs = _radam_numpy_oracle(params0, grads, 1e-2, weight_decay=wd)
     np.testing.assert_allclose(ours["w"], theirs["w"], atol=1e-5)
 
 
@@ -81,13 +142,38 @@ def test_radam_matches_torch_builtin_no_decay(rng):
     np.testing.assert_allclose(ours["w"], theirs["w"], atol=1e-5)
 
 
-def test_adabound_matches_torch_optimizer(rng):
-    ex_optim = pytest.importorskip("torch_optimizer")
+@pytest.mark.parametrize("wd", [0.0, 0.01])
+def test_adabound_matches_torch_optimizer_or_oracle(rng, wd):
     params0 = {"w": rng.normal(size=(5, 4)).astype(np.float32)}
     grads = [{"w": rng.normal(size=(5, 4)).astype(np.float32)} for _ in range(12)]
-    ours = _run_ours(make_adabound(base_lr=1e-2), params0, grads, 1e-2)
-    theirs = _run_torch(ex_optim.AdaBound, params0, grads, lr=1e-2)
+    ours = _run_ours(make_adabound(base_lr=1e-2, weight_decay=wd),
+                     params0, grads, 1e-2)
+    try:
+        import torch_optimizer as ex_optim
+
+        theirs = _run_torch(ex_optim.AdaBound, params0, grads, lr=1e-2,
+                            weight_decay=wd)
+    except ImportError:
+        theirs = _adabound_numpy_oracle(params0, grads, 1e-2, weight_decay=wd)
     np.testing.assert_allclose(ours["w"], theirs["w"], atol=1e-5)
+
+
+def test_adabound_bounds_tighten_with_lr():
+    """AdaBound's box scales with lr/base_lr: after a plateau lr cut the
+    effective per-element step bounds shrink proportionally (the trait that
+    distinguishes it from plain Adam under our runtime-lr design)."""
+    opt = make_adabound(base_lr=1e-2, final_lr=0.1, gamma=1e-3)
+    params = {"w": jnp.zeros((4,), jnp.float32)}
+    state = opt.init(params)
+    g = {"w": jnp.full((4,), 1e-12, jnp.float32)}  # ~zero grad -> hits bounds
+    # run a couple of steps so t > 0, then compare one step at two lrs
+    p1, s1 = opt.update(g, state, params, jnp.float32(1e-2))
+    p_hi, _ = opt.update(g, s1, p1, jnp.float32(1e-2))
+    p_lo, _ = opt.update(g, s1, p1, jnp.float32(1e-3))
+    d_hi = np.abs(np.asarray(p_hi["w"]) - np.asarray(p1["w"])).max()
+    d_lo = np.abs(np.asarray(p_lo["w"]) - np.asarray(p1["w"])).max()
+    assert d_lo < d_hi
+    np.testing.assert_allclose(d_lo, d_hi / 10.0, rtol=1e-3)
 
 
 def test_plateau_matches_torch_scheduler():
