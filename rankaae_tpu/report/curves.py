@@ -1,9 +1,19 @@
-"""Reconstruct dumps and loss-curve plotting
-(reference ``sc/report/analysis_new.py:94-129,246-280``)."""
+"""The OO evaluator family and loss-curve plotting
+(reference ``sc/report/analysis_new.py``).
+
+The reference's ``Reporter`` / ``Evaluator`` / ``EvaluatorAll`` are an
+unfinished OO rewrite (mostly ``pass`` bodies); here they are implemented to
+their documented intent so the class surface is complete AND functional:
+``Evaluator`` is the serializable base (plain-dict ``as_dict``/``from_dict``
+replaces the reference's monty ``MSONable``), ``EvaluatorAll`` evaluates one
+model bundle against a dataset, and ``Reporter`` aggregates every
+``job_*`` under a training directory into a ranked report.
+"""
 from __future__ import annotations
 
 import os
-from typing import Dict
+from datetime import datetime, timezone
+from typing import Dict, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -16,17 +26,153 @@ import matplotlib.pyplot as plt  # noqa: E402
 from rankaae_tpu.models.inference import InferenceModel  # noqa: E402
 
 
-class Reconstruct:
+class Evaluator:
+    """Base class for model-property evaluators
+    (reference ``analysis_new.py:55-92``): holds a ``result`` payload and
+    provenance ``metadata``; subclasses implement ``evaluate``/``plot``."""
+
+    def __init__(self, name: Optional[str] = None):
+        self.result: Dict = {}
+        self.metadata: Dict = {}
+        self.name = name
+
+    def evaluate(self, *args, **kwargs):
+        raise NotImplementedError
+
+    def plot(self, ax=None):
+        raise NotImplementedError
+
+    def _process_metadata(self, data_path=None, model_path=None):
+        dt = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+        self.metadata.update({
+            "name": self.name,
+            "datetime": f"{dt} UTC",
+            "data": data_path,
+            "model": model_path,
+        })
+
+    # plain-dict (de)serialization — the monty MSONable replacement
+    def as_dict(self) -> Dict:
+        return {
+            "@class": type(self).__name__,
+            "name": self.name,
+            "metadata": dict(self.metadata),
+            "result": {
+                k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                for k, v in (self.result.items()
+                             if isinstance(self.result, dict) else [])
+            },
+        }
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "Evaluator":
+        obj = cls.__new__(cls)
+        Evaluator.__init__(obj, name=d.get("name"))
+        obj.metadata = dict(d.get("metadata", {}))
+        obj.result = {
+            k: (np.asarray(v) if isinstance(v, list) else v)
+            for k, v in d.get("result", {}).items()
+        }
+        return obj
+
+
+class EvaluatorAll(Evaluator):
+    """Evaluate ONE model bundle against a dataset — the working version of
+    the reference's skeleton (``analysis_new.py:130-161``): loads the model
+    and data, runs the full metric battery of ``analysis.evaluate_model``."""
+
+    def __init__(self, name: str = "model_evaluation"):
+        super().__init__(name=name)
+        self.data = None
+        self.model: Optional[InferenceModel] = None
+
+    @classmethod
+    def from_file(cls, data_path: str, model_path: str, n_aux: int = 5,
+                  split_portion: str = "val") -> "EvaluatorAll":
+        obj = cls()
+        obj.load_data(data_path, n_aux=n_aux, split_portion=split_portion)
+        obj.load_model(model_path)
+        return obj
+
+    def load_model(self, model_path: str):
+        self.model = InferenceModel.from_bundle(model_path)
+        self.metadata["model"] = model_path
+
+    def load_data(self, data_path: str, n_aux: int = 5,
+                  split_portion: str = "val"):
+        from rankaae_tpu.data.dataset import AuxSpectraDataset
+
+        self.data = AuxSpectraDataset(data_path, split_portion=split_portion,
+                                      n_aux=n_aux)
+        self.metadata["data"] = data_path
+
+    def evaluate(self) -> Dict:
+        from rankaae_tpu.report.analysis import evaluate_model
+
+        assert self.model is not None and self.data is not None
+        self._process_metadata(self.metadata.get("data"),
+                               self.metadata.get("model"))
+        self.result = evaluate_model(self.data, self.model)
+        return self.result
+
+
+class Reporter:
+    """Aggregate evaluations over every ``job_*`` of a training directory
+    (the working version of ``analysis_new.py:28-52``): evaluate or collect,
+    rank with the production scoring rule, and print/plot the report."""
+
+    def __init__(self):
+        self.evaluations: Dict[str, Dict] = {}
+        self.ranked_jobs: List[str] = []
+
+    def add_evaluations(self, evaluation_list):
+        for ev in evaluation_list:
+            job = ev.metadata.get("model", f"job_{len(self.evaluations)+1}")
+            self.evaluations[os.path.basename(os.path.dirname(str(job)))
+                             or str(job)] = ev.result
+
+    def evaluate_all_models(self, training_path: str = "./training",
+                            test_ds=None):
+        from rankaae_tpu.report.analysis import evaluate_all_models
+
+        assert test_ds is not None, "pass the evaluation dataset"
+        self.evaluations = evaluate_all_models(training_path, test_ds)
+        return self.evaluations
+
+    def load_evaluations(self, evaluation_path="./report_model_evaluations.pkl"):
+        from rankaae_tpu.report.analysis import load_evaluations
+
+        self.evaluations = load_evaluations(evaluation_path)
+        return self.evaluations
+
+    def report(self, plot: bool = False, top_n: Optional[int] = None):
+        """Rank all collected evaluations; returns (summary dataframe, fig)."""
+        from rankaae_tpu.report.analysis import sort_all_models
+        from rankaae_tpu.report.generate_report import sorting_algorithm
+
+        results, ranked, fig = sort_all_models(
+            self.evaluations, sort_score=sorting_algorithm, ascending=False,
+            plot_score=plot, top_n=top_n,
+        )
+        self.ranked_jobs = list(ranked)
+        rows = [
+            {"job": job, "Rank": results[job]["Rank"],
+             "Score": results[job]["Score"],
+             "Recon Err": results[job]["Reconstruct Err"][0]}
+            for job in ranked
+        ]
+        return pd.DataFrame(rows), fig
+
+
+class Reconstruct(Evaluator):
     """Evaluator writing ``<name>_spec_in/out/styles.txt`` dumps
     (reference ``analysis_new.py:94-129``)."""
 
     def __init__(self, name: str = "reconstructed"):
-        self.name = name
-        self.result: Dict[str, np.ndarray] = {}
-        self.metadata: Dict[str, str] = {}
+        super().__init__(name=name)
 
     def evaluate(self, test_ds, model: InferenceModel, path_to_save=None):
-        self.metadata.update({"name": self.name, "data": test_ds.metadata["path"]})
+        self._process_metadata(data_path=test_ds.metadata["path"])
         spec_in = np.asarray(test_ds.spec, np.float32)
         styles = model.encode(spec_in)
         self.result.update(
@@ -74,11 +220,12 @@ class LossCurvePlotter:
         return fig
 
 
-class SpectraVariationEvaluator:
+class SpectraVariationEvaluator(Evaluator):
     """OO wrapper over the decoder style sweep
     (reference ``analysis_new.py:166-243``)."""
 
     def __init__(self, n_spec=50, n_sampling=1000, amplitude=2.0):
+        super().__init__(name="spectra_variation")
         self.n_spec = n_spec
         self.n_sampling = n_sampling
         self.amplitude = amplitude
