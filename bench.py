@@ -59,18 +59,26 @@ def _fallback_cfg(epochs, trials):
     )
 
 
-def _exec_flops(compiled):
-    """Total FLOPs of one executable invocation from XLA's cost analysis
-    (covers every epoch and trial — the whole run is one program); None when
-    the backend does not report it."""
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        return flops if flops > 0 else None
-    except Exception:
-        return None
+def _analytic_flops_per_sample(params, n_trials, grl: bool, smooth: bool):
+    """Matmul FLOPs per training sample of the per-batch protocol.
+
+    XLA's ``cost_analysis`` counts each ``lax.scan`` body ONCE, so it
+    underreports a scan-of-scans training program by epochs x batches; this
+    counts passes analytically instead.  Backward ~ 2x forward; pass counts
+    follow trainer._train_batch: GRL path runs 7 encoder forwards (4 with
+    backward), 4 decoder forwards (3 with backward), and one 2B-row
+    discriminator forward+backward per batch."""
+    import jax
+
+    count = lambda t: sum(int(np.prod(x.shape))
+                          for x in jax.tree_util.tree_leaves(t))
+    p_enc = count(params["enc"]) // n_trials
+    p_dec = count(params["dec"]) // n_trials
+    p_dis = count(params["dis"]) // n_trials
+    enc_passes = 7 + 2 * 4
+    dec_passes = (4 if smooth else 3) + 2 * (3 if smooth else 2)
+    dis_passes = 2 * (1 + 2) if grl else 3 * (1 + 2)
+    return 2.0 * (p_enc * enc_passes + p_dec * dec_passes + p_dis * dis_passes)
 
 
 def bench(form: str, trials: int, epochs: int, n_rows: int):
@@ -137,15 +145,23 @@ def bench(form: str, trials: int, epochs: int, n_rows: int):
         "unit": "spectra/s/chip",
         "vs_baseline": round(float(spectra_per_sec / baseline), 2),
     }
-    flops = _exec_flops(compiled)
-    if flops is not None:
-        flops_per_sec = flops / wall
+    if form == "FC":
+        # the 2*params-per-pass estimate is exact only for dense layers;
+        # conv forms reuse weights across positions, so MFU is reported for
+        # the flagship FC form only
+        fps = _analytic_flops_per_sample(
+            out_states.params, trials, grl=cfg.gradient_reversal,
+            smooth=epochs <= cfg.epoch_stop_smooth,
+        )
+        flops_per_sec = fps * spectra_per_sec
         result["flops_per_sec"] = round(flops_per_sec, 1)
         result["mfu_pct"] = round(100.0 * flops_per_sec / V5E_PEAK_FLOPS, 3)
         print(
-            f"XLA cost analysis: {flops:.3e} FLOPs/run -> "
+            f"analytic {fps/1e6:.2f} MFLOP/sample -> "
             f"{flops_per_sec/1e12:.3f} TFLOP/s = {result['mfu_pct']:.3f}% of "
-            "v5e bf16 peak (tiny model: vector/HBM-bound by design)",
+            "v5e bf16 peak (63K-param model at batch 1024: vector/HBM-bound "
+            "by design; the MXU ceiling is irrelevant at this arithmetic "
+            "intensity)",
             file=sys.stderr,
         )
     print(
