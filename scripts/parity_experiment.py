@@ -72,8 +72,16 @@ def _stub_reference_deps():
         sys.modules["torchvision.transforms"] = tr
 
 
-def _experiment_config(epochs):
+def _experiment_config(epochs, ae_form="FC", precision=None):
+    extra = {}
+    if ae_form != "FC":
+        extra["ae_form"] = ae_form
+    if precision is not None:
+        # rankaae_tpu-only key; stripped before handing the config to the
+        # torch reference (which has no such knob — it always computes f32)
+        extra["matmul_precision"] = precision
     return {
+        **extra,
         "data_file": "parity_data.csv",
         "trials": 1,
         "timeout": 10,
@@ -156,10 +164,11 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0):
     from sc.clustering.trainer import Trainer as RefTrainer
     from sc.utils.parameter import Parameters as RefParameters
 
+    ref_cfg = {k: v for k, v in cfg_dict.items() if k != "matmul_precision"}
     t0 = time.time()
     trainer = RefTrainer.from_data(
         csv_path, verbose=False, work_dir=workdir,
-        config_parameters=RefParameters(dict(cfg_dict)),
+        config_parameters=RefParameters(ref_cfg),
     )
     metrics = trainer.train()
     wall = time.time() - t0
@@ -236,6 +245,11 @@ def main():
                     help="jax platform for ours (e.g. cpu for a smoke run)")
     ap.add_argument("--out", default="PARITY_RESULTS.md",
                     help="output markdown filename (repo-root relative)")
+    ap.add_argument("--ae-form", default="FC",
+                    choices=["FC", "normal", "compact"])
+    ap.add_argument("--precision", default=None,
+                    choices=[None, "highest", "default"],
+                    help="ours-only matmul precision (torch is always f32)")
     args = ap.parse_args()
 
     from rankaae_tpu.data.synthetic import make_synthetic_xanes_csv
@@ -245,7 +259,8 @@ def main():
     os.makedirs(workdir, exist_ok=True)
     csv_path = os.path.join(workdir, "parity_data.csv")
     make_synthetic_xanes_csv(csv_path, n_rows=args.rows, dim=256, seed=42)
-    cfg_dict = _experiment_config(args.epochs)
+    cfg_dict = _experiment_config(args.epochs, ae_form=args.ae_form,
+                                  precision=args.precision)
 
     splits = load_split_arrays(csv_path, n_aux=5)
     val_spec, val_aux = splits["val"].spec, splits["val"].aux
@@ -278,8 +293,11 @@ def main():
         "# Training-outcome parity: reference (torch CPU) vs rankaae_tpu",
         "",
         f"Same synthetic dataset ({args.rows} rows), same config "
-        f"(`example/fix_config.yaml` hyperparameters, {args.epochs} epochs, "
-        "AdamW, GRL, flex recon, activated Kendall), independent RNG.  "
+        f"(`example/fix_config.yaml` hyperparameters, ae_form={args.ae_form}, "
+        f"{args.epochs} epochs, AdamW, GRL, flex recon, activated Kendall"
+        + (f", ours at matmul_precision={args.precision}" if args.precision
+           else "")
+        + "), independent RNG.  "
         f"Reference: {args.ref_seeds} sequential torch-CPU runs; ours: "
         f"{args.seeds} seeds trained as one vmapped TPU program.  Cells are "
         "median [min, max] across seeds.",
