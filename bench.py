@@ -81,7 +81,8 @@ def _analytic_flops_per_sample(params, n_trials, grl: bool, smooth: bool):
     return 2.0 * (p_enc * enc_passes + p_dec * dec_passes + p_dis * dis_passes)
 
 
-def bench(form: str, trials: int, epochs: int, n_rows: int):
+def bench(form: str, trials: int, epochs: int, n_rows: int,
+          precision: str = None):
     import jax
     import jax.numpy as jnp
 
@@ -101,6 +102,8 @@ def bench(form: str, trials: int, epochs: int, n_rows: int):
         # helper at matmul_precision "highest" (README known-gaps); "default"
         # is also what bf16-MXU production runs would use
         cfg = cfg.replace(ae_form=form, matmul_precision="default")
+    if precision is not None:
+        cfg = cfg.replace(matmul_precision=precision)
 
     aux, spec, _ = make_synthetic_xanes(n_rows=n_rows, dim=cfg.dim_in, seed=0)
     n_train = int(n_rows * 0.7)
@@ -179,8 +182,16 @@ def main():
     ap.add_argument("--trials", type=int, default=32)
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--rows", type=int, default=7000)
+    # production precision: bf16 MXU passes.  Quality equivalence vs the
+    # parity-exact "highest" (6x f32 passes) is measured — 8-seed 1500-epoch
+    # final recon MSE distributions overlap (median 0.0042 bf16 vs 0.0062
+    # f32; README Performance) — and bf16 is ~1.4x faster end-to-end.
+    # `--precision highest` reproduces the parity-exact number.
+    ap.add_argument("--precision", default="default",
+                    choices=["highest", "default"])
     args = ap.parse_args()
-    bench(args.form, args.trials, args.epochs, args.rows)
+    bench(args.form, args.trials, args.epochs, args.rows,
+          precision=args.precision)
 
 
 if __name__ == "__main__":
