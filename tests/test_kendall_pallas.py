@@ -76,10 +76,28 @@ def test_ragged_batch_matches_xla(rng, b):
 
 
 def test_auto_dispatch_uses_kernel_on_ragged(rng):
-    """auto() now routes ragged batches through the masked kernel too."""
+    """auto() routes ragged batches >= one row block through the masked
+    kernel."""
     b, k = 300, 5
     d = jnp.asarray(rng.normal(size=(b, k)).astype(np.float32))
     s = jnp.asarray(rng.normal(size=(b, k)).astype(np.float32))
     out = kp.kendall_constraint_auto(d, s, activate=True)
     ref = kendall_constraint(d, s, activate=True)
     np.testing.assert_allclose(float(out), float(ref), rtol=1e-4, atol=1e-7)
+
+
+def test_auto_dispatch_small_batch_takes_xla_path(rng, monkeypatch):
+    """Batches below one row block (e.g. the trailing partial batch or tiny
+    validation sets) must NOT pad into the kernel — they take the O(B*K)
+    XLA path (round-1 advisor finding)."""
+    def boom(*a, **kw):
+        raise AssertionError("pallas kernel must not run for B < block size")
+
+    monkeypatch.setattr(kp, "kendall_constraint_pallas", boom)
+    b, k = 64, 5
+    assert b < kp._TB
+    d = jnp.asarray(rng.normal(size=(b, k)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(b, k)).astype(np.float32))
+    out = kp.kendall_constraint_auto(d, s, activate=True)
+    ref = kendall_constraint(d, s, activate=True)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-6)
