@@ -80,8 +80,7 @@ def _experiment_config(epochs, ae_form="FC", precision=None):
         # rankaae_tpu-only key; stripped before handing the config to the
         # torch reference (which has no such knob — it always computes f32)
         extra["matmul_precision"] = precision
-    return {
-        **extra,
+    base = {
         "data_file": "parity_data.csv",
         "trials": 1,
         "timeout": 10,
@@ -121,6 +120,8 @@ def _experiment_config(epochs, ae_form="FC", precision=None):
         "kendall_activation": True,
         "epoch_stop_smooth": epochs,
     }
+    base.update(extra)  # overrides must win over the FC defaults above
+    return base
 
 
 def _final_stats(encode, decode, val_spec, val_aux):
