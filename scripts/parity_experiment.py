@@ -167,10 +167,39 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0):
 
     ref_cfg = {k: v for k, v in cfg_dict.items() if k != "matmul_precision"}
     t0 = time.time()
-    trainer = RefTrainer.from_data(
-        csv_path, verbose=False, work_dir=workdir,
-        config_parameters=RefParameters(ref_cfg),
-    )
+    if ref_cfg.get("ae_form", "FC") == "FC":
+        trainer = RefTrainer.from_data(
+            csv_path, verbose=False, work_dir=workdir,
+            config_parameters=RefParameters(ref_cfg),
+        )
+    else:
+        # Upstream latent bug: Trainer.from_data passes dim_in/dim_out/
+        # n_layers to EVERY encoder/decoder class (trainer.py:442-454), but
+        # the conv-form constructors (Encoder/Decoder, model.py:235,383)
+        # accept none of them — so the reference's public factory cannot
+        # build its own conv forms.  Construct the modules manually instead.
+        import torch as _torch
+        from sc.clustering.dataloader import get_dataloaders
+        from sc.utils.parameter import AE_CLS_DICT
+
+        p = RefParameters(ref_cfg)
+        dl_train, dl_val, _ = get_dataloaders(
+            csv_path, p.batch_size, (0.7, 0.15, 0.15), n_aux=p.n_aux)
+        encoder = AE_CLS_DICT[p.ae_form]["encoder"](
+            nstyle=p.nstyle, dropout_rate=p.dropout_rate)
+        decoder = AE_CLS_DICT[p.ae_form]["decoder"](
+            nstyle=p.nstyle, dropout_rate=p.dropout_rate,
+            last_layer_activation=p.decoder_activation)
+        from sc.clustering.model import DiscriminatorFC
+
+        discriminator = DiscriminatorFC(
+            nstyle=p.nstyle, dropout_rate=p.dis_dropout_rate,
+            noise=p.dis_noise, layers=p.FC_discriminator_layers)
+        trainer = RefTrainer(
+            encoder, decoder, discriminator, _torch.device("cpu"),
+            dl_train, dl_val, verbose=False, work_dir=workdir,
+            config_parameters=p,
+        )
     metrics = trainer.train()
     wall = time.time() - t0
 
