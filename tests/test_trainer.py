@@ -127,6 +127,31 @@ def test_optimizer_counts_match_protocol(tiny_data):
     assert int(state.opt["generator"].count) == 0
 
 
+@pytest.mark.parametrize("opt_name,adamw_wd", [
+    ("mutual_info", 0.01), ("adversarial", 0.01), ("generator", 0.01),
+])
+def test_default_weight_decay_matches_torch_classes(opt_name, adamw_wd):
+    """The reference builds mutual_info/dis/gen/adv optimizers WITHOUT
+    weight_decay=, so under AdamW they inherit torch's class default 0.01
+    (PARITY.md ledger #8).  Behavioral pin: a zero-gradient AdamW update
+    must decay the parameter by lr*wd; under Adam (default wd=0, L2-style)
+    it must leave it unchanged."""
+    import jax.numpy as jnp
+
+    for optimizer_name, expect_decay in [("AdamW", adamw_wd), ("Adam", 0.0)]:
+        cfg = _tiny_cfg(max_epoch=1, optimizer_name=optimizer_name)
+        trainer = RankAAETrainer(cfg, n_train=64, n_val=32)
+        opt = trainer.opts[opt_name]
+        params = {"w": jnp.ones((3,), jnp.float32)}
+        state = opt.init(params)
+        zero = {"w": jnp.zeros((3,), jnp.float32)}
+        lr = jnp.float32(0.01)
+        new_params, _ = opt.update(zero, state, params, lr)
+        expected = 1.0 - 0.01 * expect_decay
+        np.testing.assert_allclose(np.asarray(new_params["w"]),
+                                   np.full(3, expected, np.float32), rtol=1e-6)
+
+
 def test_non_grl_gan_path(tiny_data):
     cfg = _tiny_cfg(max_epoch=3, gradient_reversal=False)
     _, state, logs = _run(cfg, tiny_data)
