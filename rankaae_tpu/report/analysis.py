@@ -300,13 +300,20 @@ def evaluate_model(test_ds, model: InferenceModel, reconstruct=True, accuracy=Tr
     return result
 
 
-def evaluate_all_models(model_path: str, test_ds) -> Dict[str, Dict]:
-    """Evaluate every ``job_*/final.mpk`` under ``model_path``
-    (reference ``analysis.py:105-123`` over ``final.pt``)."""
+def evaluate_all_models(model_path: str, test_ds,
+                        bundle_name: str = "final.mpk") -> Dict[str, Dict]:
+    """Evaluate every ``job_*/<bundle_name>`` under ``model_path``
+    (reference ``analysis.py:105-123`` over ``final.pt``).
+
+    ``bundle_name="best_tracked.mpk"`` selects over each trial's true-best
+    (min combined metric) model instead of the final-epoch snapshot — a
+    net-new option: the final epoch is a lottery draw once the plateau
+    schedulers freeze training (see PARITY_RESULTS_1500.md), and the
+    reference's own best-checkpoint gate is dead code upstream."""
     result = {}
     for job in sorted(os.listdir(model_path)):
         if job.startswith("job_"):
-            bundle = os.path.join(model_path, job, "final.mpk")
+            bundle = os.path.join(model_path, job, bundle_name)
             model = InferenceModel.from_bundle(bundle)
             result[job] = evaluate_model(test_ds, model)
     return result

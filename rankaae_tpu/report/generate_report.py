@@ -206,12 +206,20 @@ def generate(work_dir: str, config: Parameters) -> str:
     test_ds = AuxSpectraDataset(os.path.join(work_dir, file_name),
                                 split_portion="val", n_aux=config.n_aux)
 
+    # net-new opt-in: select over each trial's true-best (min combined
+    # metric) checkpoint instead of the final-epoch snapshot — the final
+    # epoch is a lottery draw after the plateau schedulers freeze training
+    # (PARITY_RESULTS_1500.md).  Default False = reference behavior.
+    bundle_name = "best_tracked.mpk" if config.get("use_best_checkpoint", False) \
+        else "final.mpk"
+
     plot_job = config.get("plot_job", None)
     if plot_job is not None:
         sorted_jobs = [plot_job]
         out_png = os.path.join(work_dir, f"{output_name}_{sorted_jobs[0]}.png")
     else:
-        model_results = analysis.evaluate_all_models(jobs_dir, test_ds)
+        model_results = analysis.evaluate_all_models(jobs_dir, test_ds,
+                                                     bundle_name=bundle_name)
         model_results, sorted_jobs, fig_sel = analysis.sort_all_models(
             model_results, plot_score=True, top_n=top_n,
             sort_score=sorting_algorithm, ascending=False,
@@ -224,7 +232,7 @@ def generate(work_dir: str, config: Parameters) -> str:
         out_png = os.path.join(work_dir, f"{output_name}_best_model.png")
 
     top_model = InferenceModel.from_bundle(
-        os.path.join(jobs_dir, sorted_jobs[0], "final.mpk")
+        os.path.join(jobs_dir, sorted_jobs[0], bundle_name)
     )
     fig_top = plot_report(test_ds, top_model, config=config,
                           title="-".join([output_name, str(sorted_jobs[0])]))

@@ -57,7 +57,8 @@ class Parameters:
 # Keys understood by the training stack.  Union of the reference's shipped
 # configs (SURVEY.md §2.7; ``sc/cmd/fix_config.yaml``, ``example/fix_config.yaml``,
 # ``sc/tests/data/fix_config.yaml``) plus report-only keys.
-_REPORT_ONLY_KEYS = {"output_name", "top_n", "gpu", "n_sampling", "plot_residual", "plot_job"}
+_REPORT_ONLY_KEYS = {"output_name", "top_n", "gpu", "n_sampling", "plot_residual",
+                     "plot_job", "use_best_checkpoint"}
 
 
 @dataclasses.dataclass(frozen=True)

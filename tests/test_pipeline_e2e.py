@@ -118,6 +118,26 @@ def test_generate_report_produces_artifacts(work_dir):
     assert spec_out.shape[1] == 256
 
 
+def test_generate_report_over_best_checkpoints(work_dir):
+    """use_best_checkpoint: true selects over each trial's true-best
+    (min combined) model instead of the final-epoch snapshot (net-new;
+    the final epoch is a lottery draw after plateau freeze)."""
+    import yaml
+
+    from rankaae_tpu.cli.generate_report import main
+
+    cfg = yaml.safe_load(open(os.path.join(work_dir, "fix_config.yaml")))
+    cfg["use_best_checkpoint"] = True
+    cfg["output_name"] = "best_report"
+    with open(os.path.join(work_dir, "best_config.yaml"), "w") as f:
+        yaml.safe_dump(cfg, f)
+    main(["-c", "best_config.yaml", "-w", work_dir])
+    with open(os.path.join(work_dir, "best_report.json")) as f:
+        report = json.load(f)
+    assert len(report) == 2
+    assert all(np.isfinite(r["Reconstruct Err"][0]) for r in report.values())
+
+
 def test_losses_csv_parses_with_reference_loss_curve_plotter(work_dir):
     """Our CSV must load through the same pandas path the reference uses."""
     import pandas as pd
