@@ -82,7 +82,7 @@ def _analytic_flops_per_sample(params, n_trials, grl: bool, smooth: bool):
 
 
 def bench(form: str, trials: int, epochs: int, n_rows: int,
-          precision: str = None):
+          precision: str = None, rng_impl: str = "rbg"):
     import jax
     import jax.numpy as jnp
 
@@ -104,6 +104,7 @@ def bench(form: str, trials: int, epochs: int, n_rows: int,
         cfg = cfg.replace(ae_form=form, matmul_precision="default")
     if precision is not None:
         cfg = cfg.replace(matmul_precision=precision)
+    cfg = cfg.replace(rng_impl=rng_impl)
 
     aux, spec, _ = make_synthetic_xanes(n_rows=n_rows, dim=cfg.dim_in, seed=0)
     n_train = int(n_rows * 0.7)
@@ -189,9 +190,14 @@ def main():
     # `--precision highest` reproduces the parity-exact number.
     ap.add_argument("--precision", default="default",
                     choices=["highest", "default"])
+    # TPU hardware RNG for the ~100+ per-batch dropout/noise draws — the
+    # measured ~1.65x end-to-end win over threefry; quality validated at
+    # convergence (README Performance).  --rng threefry reproduces the
+    # counter-based-RNG number.
+    ap.add_argument("--rng", default="rbg", choices=["threefry", "rbg"])
     args = ap.parse_args()
     bench(args.form, args.trials, args.epochs, args.rows,
-          precision=args.precision)
+          precision=args.precision, rng_impl=args.rng)
 
 
 if __name__ == "__main__":

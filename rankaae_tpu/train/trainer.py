@@ -121,8 +121,12 @@ class RankAAETrainer:
         cfg.validate()
         from rankaae_tpu.models.primitives import set_matmul_precision
 
-        # process-level knob (see TrainConfig.matmul_precision docstring)
+        # process-level knobs (see TrainConfig docstrings)
         set_matmul_precision(cfg.matmul_precision)
+        jax.config.update(
+            "jax_default_prng_impl",
+            {"threefry": "threefry2x32", "rbg": "rbg"}[cfg.rng_impl],
+        )
         self.cfg = cfg
         self.n_train = n_train
         self.n_val = n_val

@@ -123,6 +123,15 @@ class TrainConfig:
     # Process-level: one precision per process (set at trainer construction).
     matmul_precision: str = "highest"
 
+    # PRNG implementation for all key streams (net-new, process-level like
+    # matmul_precision).  "threefry" = JAX default, counter-based, fully
+    # reproducible across backends; "rbg" = the TPU's hardware RNG
+    # instructions — measured ~1.65x end-to-end training speedup (the
+    # 6-loss protocol draws dropout/noise masks in ~100+ sites per batch).
+    # Statistical quality is equivalent for dropout/noise purposes; key
+    # streams are NOT bit-compatible across the two.
+    rng_impl: str = "threefry"
+
     # split ratios (reference hardcodes these in Trainer.from_data signature,
     # ``trainer.py:415``)
     train_ratio: float = 0.7
@@ -177,6 +186,10 @@ class TrainConfig:
             raise ValueError(
                 f"matmul_precision {self.matmul_precision!r} not in "
                 "('highest', 'default')"
+            )
+        if self.rng_impl not in ("threefry", "rbg"):
+            raise ValueError(
+                f"rng_impl {self.rng_impl!r} not in ('threefry', 'rbg')"
             )
 
     def replace(self, **kw) -> "TrainConfig":

@@ -72,7 +72,7 @@ def _stub_reference_deps():
         sys.modules["torchvision.transforms"] = tr
 
 
-def _experiment_config(epochs, ae_form="FC", precision=None):
+def _experiment_config(epochs, ae_form="FC", precision=None, rng_impl=None):
     extra = {}
     if ae_form != "FC":
         extra["ae_form"] = ae_form
@@ -80,6 +80,8 @@ def _experiment_config(epochs, ae_form="FC", precision=None):
         # rankaae_tpu-only key; stripped before handing the config to the
         # torch reference (which has no such knob — it always computes f32)
         extra["matmul_precision"] = precision
+    if rng_impl is not None:
+        extra["rng_impl"] = rng_impl
     base = {
         "data_file": "parity_data.csv",
         "trials": 1,
@@ -165,7 +167,8 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0):
     from sc.clustering.trainer import Trainer as RefTrainer
     from sc.utils.parameter import Parameters as RefParameters
 
-    ref_cfg = {k: v for k, v in cfg_dict.items() if k != "matmul_precision"}
+    ref_cfg = {k: v for k, v in cfg_dict.items()
+               if k not in ("matmul_precision", "rng_impl")}
     t0 = time.time()
     if ref_cfg.get("ae_form", "FC") == "FC":
         trainer = RefTrainer.from_data(
@@ -280,6 +283,8 @@ def main():
     ap.add_argument("--precision", default=None,
                     choices=[None, "highest", "default"],
                     help="ours-only matmul precision (torch is always f32)")
+    ap.add_argument("--rng", default=None, choices=[None, "threefry", "rbg"],
+                    help="ours-only PRNG implementation")
     args = ap.parse_args()
 
     from rankaae_tpu.data.synthetic import make_synthetic_xanes_csv
@@ -290,7 +295,7 @@ def main():
     csv_path = os.path.join(workdir, "parity_data.csv")
     make_synthetic_xanes_csv(csv_path, n_rows=args.rows, dim=256, seed=42)
     cfg_dict = _experiment_config(args.epochs, ae_form=args.ae_form,
-                                  precision=args.precision)
+                                  precision=args.precision, rng_impl=args.rng)
 
     splits = load_split_arrays(csv_path, n_aux=5)
     val_spec, val_aux = splits["val"].spec, splits["val"].aux
