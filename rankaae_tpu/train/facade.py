@@ -110,3 +110,24 @@ class Trainer:
         if self.verbose:
             self.logger.info(metrics)
         return metrics
+
+    def get_style_distribution_plot(self, z):
+        """Stacked per-style histograms of a latent batch ``z`` (B, nstyle).
+
+        Same figure contract as the reference's unused trainer hook
+        (``sc/clustering/trainer.py:323-330``): nstyle shared-axis rows,
+        step-style histograms over bins ``arange(-3, 3.01, 0.2)``.
+        """
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        z = np.asarray(z)
+        nstyle = self.core.cfg.nstyle
+        fig, ax_list = plt.subplots(
+            nstyle, 1, sharex=True, sharey=True, figsize=(9, 12))
+        bins = np.arange(-3.0, 3.01, 0.2)
+        for istyle, ax in zip(range(nstyle), np.atleast_1d(ax_list)):
+            ax.hist(z[:, istyle], bins=bins, color="blue",
+                    histtype="stepfilled", edgecolor="blue")
+        return fig

@@ -26,6 +26,41 @@ from rankaae_tpu.ops.losses import (  # noqa: F401
 )
 
 
+class TrainingLossGeneral:
+    """Reference's abstract loss-callable stub (``functions.py:8-27``).
+
+    Dead upstream (nothing in-tree instantiates it); kept for import
+    compatibility with the same attributes and NotImplementedError call.
+    """
+
+    def __init__(self, input=None, max_epoch=None, device=None):
+        self.max_epoch = max_epoch
+        self.device = device
+        self.input = input
+
+    def __call__(self, *args, **kwargs):
+        raise NotImplementedError
+
+
+class KendallConstraint(TrainingLossGeneral):
+    """Reference's unfinished class wrapper (``functions.py:29-34``).
+
+    Upstream's ``__init__`` is broken (``super.__init_`` — AttributeError on
+    construction) and ``__call__`` is ``pass``; here construction works and
+    ``__call__`` delegates to the functional ``kendall_constraint`` so the
+    class is usable rather than a landmine (PARITY.md faithful-quirk ledger).
+    """
+
+    def __init__(self, max_epoch=None, device=None):
+        super().__init__(max_epoch=max_epoch, device=device)
+
+    def __call__(self, epoch, input=None, model=None):
+        if input is None:
+            return None
+        descriptors, styles = input
+        return kendall_constraint(descriptors, styles, device=self.device)
+
+
 def kendall_constraint(descriptors, styles, activate=False, device=None):
     """Reference signature (``functions.py:37``); ``device`` ignored."""
     return _kendall(descriptors, styles, activate=activate)

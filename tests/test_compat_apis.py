@@ -50,6 +50,17 @@ def test_trainer_facade_from_data(synthetic_csv, tmp_path):
     assert os.path.exists(tmp_path / "final.mpk")
     assert os.path.exists(tmp_path / "best_tracked.mpk")
 
+    # the reference's unused style-distribution hook (trainer.py:323-330):
+    # nstyle stacked histogram axes over a latent batch
+    import numpy as np
+
+    fig = trainer.get_style_distribution_plot(
+        np.random.default_rng(0).normal(size=(64, 6)).astype("float32"))
+    assert len(fig.axes) == 6
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
 
 def test_resume_exact_equivalence(tmp_path):
     """Exact: same trainer, stop at epoch 2 via start_epoch slicing."""
