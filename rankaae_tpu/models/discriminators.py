@@ -37,7 +37,7 @@ class DiscriminatorFC(nn.Module):
     def __call__(self, x, beta: Optional[jnp.ndarray], train: bool = True):
         if train and self.noise > 0:
             rng = self.make_rng("noise")
-            x = x + self.noise * jax.random.normal(rng, x.shape)
+            x = x + self.noise * jax.random.normal(rng, x.shape, x.dtype)
         if beta is not None:
             x = grad_reverse(x, jnp.asarray(beta, x.dtype))
         h = self.hidden_size
@@ -65,7 +65,7 @@ class DiscriminatorCNN(nn.Module):
     def __call__(self, x, beta: Optional[jnp.ndarray], train: bool = True):
         if train and self.noise > 0:
             rng = self.make_rng("noise")
-            x = x + self.noise * jax.random.normal(rng, x.shape)
+            x = x + self.noise * jax.random.normal(rng, x.shape, x.dtype)
         if beta is not None:
             x = grad_reverse(x, jnp.asarray(beta, x.dtype))
 

@@ -24,6 +24,25 @@ from rankaae_tpu.utils.checkpoint import load_model_bundle
 from rankaae_tpu.utils.config import TrainConfig
 
 
+def _eval_f32(apply_fn):
+    """Jitted eval forward pinned to float32 activations.
+
+    The activation dtype is a process-level knob read at trace time
+    (``primitives.get_activation_dtype``); inference/report forwards always
+    run parity-exact f32 even when the same process trained at bf16."""
+    def inner(*args):
+        from rankaae_tpu.models import primitives
+
+        prev = primitives._ACT_DTYPE
+        primitives._ACT_DTYPE = jnp.float32
+        try:
+            return apply_fn(*args)
+        finally:
+            primitives._ACT_DTYPE = prev
+
+    return jax.jit(inner)
+
+
 @functools.lru_cache(maxsize=None)
 def _appliers(cfg: TrainConfig):
     """Per-config jitted eval forwards taking variables as arguments (shared
@@ -31,9 +50,9 @@ def _appliers(cfg: TrainConfig):
     encoder, decoder = build_autoencoder(cfg)
     discriminator = build_discriminator(cfg)
     return {
-        "enc": jax.jit(lambda v, x: encoder.apply(v, x, train=False)),
-        "dec": jax.jit(lambda v, z: decoder.apply(v, z, train=False)),
-        "dis": jax.jit(lambda v, z: discriminator.apply(v, z, None, train=False)),
+        "enc": _eval_f32(lambda v, x: encoder.apply(v, x, train=False)),
+        "dec": _eval_f32(lambda v, z: decoder.apply(v, z, train=False)),
+        "dis": _eval_f32(lambda v, z: discriminator.apply(v, z, None, train=False)),
     }
 
 

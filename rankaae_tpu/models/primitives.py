@@ -55,6 +55,31 @@ def get_matmul_precision():
 
 
 # ---------------------------------------------------------------------------
+# activation dtype knob (mixed precision)
+# ---------------------------------------------------------------------------
+# float32 by default (parity-exact: every cast below is then a no-op).
+# "bfloat16" stores module activations in bf16 — on TPU the training program
+# is HBM-bandwidth/op-floor bound (see scripts/chip_calibration.py), so
+# halving every materialized activation buffer is a direct throughput win.
+# Numerics policy: parameters, optimizer states, BatchNorm statistics, loss
+# values, and reductions stay float32; only the tensors flowing between
+# modules (and the weight copies consumed by matmuls/convs) are bf16.
+# Process-level knob like the matmul precision: set BEFORE building models.
+
+_ACT_DTYPE = jnp.float32
+
+
+def set_activation_dtype(name: str) -> None:
+    """'float32' (parity-exact default) or 'bfloat16' (half the HBM traffic)."""
+    global _ACT_DTYPE
+    _ACT_DTYPE = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def get_activation_dtype():
+    return _ACT_DTYPE
+
+
+# ---------------------------------------------------------------------------
 # torch-default initializers
 # ---------------------------------------------------------------------------
 
@@ -106,9 +131,10 @@ class Linear(nn.Module):
         in_features = x.shape[-1]
         kernel = self.param("kernel", torch_linear_kernel_init, (in_features, self.features))
         bias = self.param("bias", torch_bias_init_for_fan_in(in_features), (self.features,))
-        y = jnp.dot(x, kernel, precision=get_matmul_precision(),
+        dt = get_activation_dtype()
+        y = jnp.dot(x.astype(dt), kernel.astype(dt), precision=get_matmul_precision(),
                     preferred_element_type=jnp.float32)
-        return y + bias
+        return (y + bias).astype(dt)
 
 
 class PReLU(nn.Module):
@@ -131,7 +157,7 @@ class PReLU(nn.Module):
         )
         shape = [1] * x.ndim
         shape[self.channel_axis] = self.num_parameters
-        a = alpha.reshape(shape)
+        a = alpha.reshape(shape).astype(x.dtype)
         return jnp.where(x >= 0, x, a * x)
 
 
@@ -161,9 +187,11 @@ class BatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((self.num_features,), jnp.float32)
         )
 
+        # statistics always in float32 (activations may be bf16)
+        xf = x.astype(jnp.float32)
         if train:
-            mean = jnp.mean(x, axis=red_axes)
-            var = jnp.mean(jnp.square(x - _expand(mean, x.ndim, axis)), axis=red_axes)
+            mean = jnp.mean(xf, axis=red_axes)
+            var = jnp.mean(jnp.square(xf - _expand(mean, x.ndim, axis)), axis=red_axes)
             if not self.is_initializing():
                 n = x.size // self.num_features
                 unbiased = var * (n / max(n - 1, 1))
@@ -173,7 +201,8 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.eps)
-        return (x - _expand(mean, x.ndim, axis)) * _expand(inv, x.ndim, axis)
+        y = (xf - _expand(mean, x.ndim, axis)) * _expand(inv, x.ndim, axis)
+        return y.astype(x.dtype)
 
 
 def _expand(v, ndim, axis):
@@ -203,20 +232,25 @@ class Conv1d(nn.Module):
         bias = self.param(
             "bias", torch_bias_init_for_fan_in(in_pg * self.kernel_size), (self.out_channels,)
         )
+        dt = get_activation_dtype()
+        x = x.astype(dt)
         if self.padding > 0:
             mode = "edge" if self.padding_mode == "replicate" else "constant"
             x = jnp.pad(x, ((0, 0), (0, 0), (self.padding, self.padding)), mode=mode)
+        # conv (unlike dot_general) requires matching operand dtypes in both
+        # the forward and the transposed/VJP convs, so under bf16 the output
+        # must be bf16 too (the MXU still accumulates in f32 internally)
         y = jax.lax.conv_general_dilated(
             x,
-            weight,
+            weight.astype(dt),
             window_strides=(self.stride,),
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
             feature_group_count=self.groups,
             precision=get_matmul_precision(),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=dt,
         )
-        return y + bias[None, :, None]
+        return (y + bias.astype(dt)[None, :, None]).astype(dt)
 
 
 class ConvTranspose1d(nn.Module):
@@ -252,14 +286,15 @@ class ConvTranspose1d(nn.Module):
             # torch fan_in for ConvTranspose bias = out_pg * k
             "bias", torch_bias_init_for_fan_in(out_pg * self.kernel_size), (self.out_channels,)
         )
+        dt = get_activation_dtype()
         b, _, length = x.shape
-        xg = x.reshape(b, g, in_pg, length)
-        wg = weight.reshape(g, in_pg, out_pg, self.kernel_size)
+        xg = x.astype(dt).reshape(b, g, in_pg, length)
+        wg = weight.astype(dt).reshape(g, in_pg, out_pg, self.kernel_size)
         y = jnp.einsum("bgcl,gcot->bgolt", xg, wg,
                        precision=get_matmul_precision(),
                        preferred_element_type=jnp.float32)
         y = y.reshape(b, self.out_channels, length * self.kernel_size)
-        return y + bias[None, :, None]
+        return (y + bias[None, :, None]).astype(dt)
 
 
 class Dropout(nn.Module):
@@ -300,6 +335,7 @@ def gaussian_smooth_1d(x: jnp.ndarray, kernel_size: int = 17, sigma: float = 3.0
     constant folded into the XLA program — no parameters.
     """
     pad = (kernel_size - 1) // 2
+    x = x.astype(jnp.float32)   # loss-side smoothing always in f32
     kernel = gaussian_kernel_1d(kernel_size, sigma)
     xp = jnp.pad(x[:, None, :], ((0, 0), (0, 0), (pad, pad)), mode="edge")
     y = jax.lax.conv_general_dilated(

@@ -119,10 +119,14 @@ class RankAAETrainer:
 
     def __init__(self, cfg: TrainConfig, n_train: int, n_val: int):
         cfg.validate()
-        from rankaae_tpu.models.primitives import set_matmul_precision
+        from rankaae_tpu.models.primitives import (
+            set_activation_dtype,
+            set_matmul_precision,
+        )
 
         # process-level knobs (see TrainConfig docstrings)
         set_matmul_precision(cfg.matmul_precision)
+        set_activation_dtype(cfg.activation_dtype)
         jax.config.update(
             "jax_default_prng_impl",
             {"threefry": "threefry2x32", "rbg": "rbg"}[cfg.rng_impl],
@@ -263,7 +267,9 @@ class RankAAETrainer:
                     # FC discriminator is BN-free: one fused (2B, nstyle)
                     # forward replaces two dispatches — identical loss (mean
                     # over each half computed separately) and gradients
-                    both = jnp.concatenate([z_real, styles], axis=0)
+                    # styles may be bf16 (activation_dtype); keep the fused
+                    # pass in the activation dtype instead of promoting to f32
+                    both = jnp.concatenate([z_real.astype(styles.dtype), styles], axis=0)
                     pred, ds2 = dis_fwd(sub["dis"], stats["dis"], both, alpha, keys[3])
                     real_p = pred[: cfg.batch_size].squeeze(-1)
                     fake_p = pred[cfg.batch_size:].squeeze(-1)

@@ -132,6 +132,14 @@ class TrainConfig:
     # streams are NOT bit-compatible across the two.
     rng_impl: str = "threefry"
 
+    # Activation storage dtype (net-new, process-level like matmul_precision).
+    # "float32" is parity-exact; "bfloat16" stores the tensors flowing
+    # between modules (and the weight copies feeding matmuls/convs) in bf16 —
+    # the training program is HBM-bandwidth/op-floor bound on TPU, so this
+    # halves the dominant traffic.  Parameters, optimizer states, BatchNorm
+    # statistics, losses, and metric reductions stay float32.
+    activation_dtype: str = "float32"
+
     # split ratios (reference hardcodes these in Trainer.from_data signature,
     # ``trainer.py:415``)
     train_ratio: float = 0.7
@@ -190,6 +198,11 @@ class TrainConfig:
         if self.rng_impl not in ("threefry", "rbg"):
             raise ValueError(
                 f"rng_impl {self.rng_impl!r} not in ('threefry', 'rbg')"
+            )
+        if self.activation_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"activation_dtype {self.activation_dtype!r} not in "
+                "('float32', 'bfloat16')"
             )
 
     def replace(self, **kw) -> "TrainConfig":

@@ -72,7 +72,8 @@ def _stub_reference_deps():
         sys.modules["torchvision.transforms"] = tr
 
 
-def _experiment_config(epochs, ae_form="FC", precision=None, rng_impl=None):
+def _experiment_config(epochs, ae_form="FC", precision=None, rng_impl=None,
+                       act_dtype=None):
     extra = {}
     if ae_form != "FC":
         extra["ae_form"] = ae_form
@@ -82,6 +83,8 @@ def _experiment_config(epochs, ae_form="FC", precision=None, rng_impl=None):
         extra["matmul_precision"] = precision
     if rng_impl is not None:
         extra["rng_impl"] = rng_impl
+    if act_dtype is not None:
+        extra["activation_dtype"] = act_dtype
     base = {
         "data_file": "parity_data.csv",
         "trials": 1,
@@ -168,7 +171,7 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0):
     from sc.utils.parameter import Parameters as RefParameters
 
     ref_cfg = {k: v for k, v in cfg_dict.items()
-               if k not in ("matmul_precision", "rng_impl")}
+               if k not in ("matmul_precision", "rng_impl", "activation_dtype")}
     t0 = time.time()
     if ref_cfg.get("ae_form", "FC") == "FC":
         trainer = RefTrainer.from_data(
@@ -283,6 +286,9 @@ def main():
     ap.add_argument("--precision", default=None,
                     choices=[None, "highest", "default"],
                     help="ours-only matmul precision (torch is always f32)")
+    ap.add_argument("--act-dtype", default=None,
+                    choices=[None, "float32", "bfloat16"],
+                    help="ours-only activation storage dtype (torch is f32)")
     ap.add_argument("--rng", default=None, choices=[None, "threefry", "rbg"],
                     help="ours-only PRNG implementation")
     args = ap.parse_args()
@@ -295,7 +301,8 @@ def main():
     csv_path = os.path.join(workdir, "parity_data.csv")
     make_synthetic_xanes_csv(csv_path, n_rows=args.rows, dim=256, seed=42)
     cfg_dict = _experiment_config(args.epochs, ae_form=args.ae_form,
-                                  precision=args.precision, rng_impl=args.rng)
+                                  precision=args.precision, rng_impl=args.rng,
+                                  act_dtype=args.act_dtype)
 
     splits = load_split_arrays(csv_path, n_aux=5)
     val_spec, val_aux = splits["val"].spec, splits["val"].aux
@@ -331,6 +338,8 @@ def main():
         f"(`example/fix_config.yaml` hyperparameters, ae_form={args.ae_form}, "
         f"{args.epochs} epochs, AdamW, GRL, flex recon, activated Kendall"
         + (f", ours at matmul_precision={args.precision}" if args.precision
+           else "")
+        + (f", ours at activation_dtype={args.act_dtype}" if args.act_dtype
            else "")
         + "), independent RNG.  "
         f"Reference: {args.ref_seeds} sequential torch-CPU runs; ours: "

@@ -96,6 +96,28 @@ def test_training_runs_and_learns(tiny_data):
     assert np.all((shapiro > 0.3) & (shapiro <= 1.0))
 
 
+def test_training_bf16_activations(tiny_data):
+    """``activation_dtype: bfloat16`` (mixed precision: bf16 module
+    activations, f32 params/stats/losses) trains to a result comparable to
+    the f32 path on the same data."""
+    from rankaae_tpu.models import primitives
+
+    cfg = _tiny_cfg(max_epoch=30, activation_dtype="bfloat16")
+    try:
+        trainer, state, logs = _run(cfg, tiny_data)
+    finally:
+        primitives.set_activation_dtype("float32")
+    assert np.all(np.isfinite(logs["val_recon"]))
+    assert logs["val_recon"][-1] < 0.5 * logs["val_recon"][0]
+    # parameters and BN running stats stay f32
+    for leaf in jax.tree_util.tree_leaves((state.params, state.batch_stats)):
+        assert leaf.dtype == np.float32
+    # the f32 run on the same data must be in the same quality ballpark
+    cfg32 = _tiny_cfg(max_epoch=30)
+    _, _, logs32 = _run(cfg32, tiny_data)
+    assert logs["val_recon"][-1] < 3.0 * logs32["val_recon"][-1]
+
+
 def test_best_tracking_is_argmin_combined(tiny_data):
     cfg = _tiny_cfg(max_epoch=15)
     trainer, state, logs = _run(cfg, tiny_data)
