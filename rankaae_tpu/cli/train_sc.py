@@ -35,7 +35,8 @@ def _timeout_handler(signum, frame):
 
 
 def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
-                      checkpoint_every=None, resume: bool = False):
+                      checkpoint_every=None, resume: bool = False,
+                      lr_scales=None):
     """Run the full multi-trial training + artifact dump. Returns TrialResults."""
     cfg = TrainConfig.from_parameters(params)
     logger = create_logger(
@@ -113,7 +114,8 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
         results = run_trials(cfg, data, seed=seed,
                              checkpoint_every=checkpoint_every,
                              checkpoint_dir=checkpoint_dir,
-                             on_segment=on_segment)
+                             on_segment=on_segment,
+                             lr_scales=lr_scales)
     finally:
         if timeout_s > 0 and hasattr(signal, "SIGALRM"):
             signal.alarm(0)
@@ -127,6 +129,9 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
         job_logger = create_logger(f"subtraining_{i+1}",
                                    os.path.join(job_dir, "messages.txt"))
         job_logger.info(f"Training started for trial {i+1}.")
+        if lr_scales is not None:
+            job_logger.info(f"lr_scale: {float(lr_scales[i]):.6g} "
+                            f"(sweep over the trial axis)")
         if checkpoint_dir is None:
             # (incremental mode already wrote losses.csv per segment)
             write_losses_csv(os.path.join(job_dir, "losses.csv"), tr["logs"])
@@ -184,6 +189,11 @@ def main(argv=None):
                         help="Save resumable training state every N epochs")
     parser.add_argument("--resume", action="store_true",
                         help="Resume from <work_dir>/train_state if present")
+    parser.add_argument("--lr-sweep", type=str, default=None, metavar="LO,HI",
+                        help="Sweep the base learning rate geometrically "
+                             "across the trial axis: trial i gets lr scaled "
+                             "by geomspace(LO, HI, trials)[i].  Net-new: the "
+                             "reference pool can only run identical configs.")
     args = parser.parse_args(argv)
 
     work_dir = os.path.abspath(os.path.expanduser(args.work_dir))
@@ -199,10 +209,16 @@ def main(argv=None):
     enable_compilation_cache()
     if args.debug_nans:
         enable_nan_debugging(True)
+    lr_scales = None
+    if args.lr_sweep:
+        lo, hi = (float(x) for x in args.lr_sweep.split(","))
+        n = int(params.get("trials", 1))
+        lr_scales = np.geomspace(lo, hi, n).astype(np.float32)
+
     with trace(args.profile_dir, label="train_sc"):
         train_from_config(work_dir, params, seed=args.seed,
                           checkpoint_every=args.checkpoint_every,
-                          resume=args.resume)
+                          resume=args.resume, lr_scales=lr_scales)
 
 
 if __name__ == "__main__":

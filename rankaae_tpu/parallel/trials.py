@@ -79,6 +79,7 @@ def run_trials(
     checkpoint_every: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
     on_segment=None,
+    lr_scales=None,
 ) -> TrialResults:
     """Train ``n_trials`` independent trials concurrently across the mesh.
 
@@ -89,11 +90,23 @@ def run_trials(
     trials run in sequential waves (same compiled program, fresh RNG lanes)
     to bound HBM — the analog of the reference's task queue when trials >
     engines.
+
+    ``lr_scales`` (net-new, shape ``(n_trials,)``): per-trial multiplier on
+    every optimizer's learning rate, turning the trial axis into a
+    hyperparameter-SWEEP axis — the reference's process pool can only run
+    identical configurations.  All trials still share one compiled program
+    (lr is runtime plateau state).
     """
     n_trials = cfg.trials if n_trials is None else n_trials
     if mesh is None:
         mesh = trial_mesh()
     n_dev = mesh.devices.size
+    if lr_scales is not None:
+        lr_scales = np.asarray(lr_scales, np.float32)
+        if lr_scales.shape != (n_trials,):
+            raise ValueError(
+                f"lr_scales must have shape ({n_trials},), got {lr_scales.shape}"
+            )
 
     max_wave = max(1, int(max_resident_per_device * n_dev))
     if n_trials > max_wave:
@@ -106,13 +119,17 @@ def run_trials(
         done = 0
         while done < n_trials:
             take = min(max_wave, n_trials - done)
-            waves.append(_run_wave(cfg, data, take, seed + done, mesh))
+            waves.append(_run_wave(
+                cfg, data, take, seed + done, mesh,
+                lr_scales=None if lr_scales is None
+                else lr_scales[done:done + take]))
             done += take
         return _concat_results(waves)
     return _run_wave(cfg, data, n_trials, seed, mesh,
                      checkpoint_every=checkpoint_every,
                      checkpoint_dir=checkpoint_dir,
-                     on_segment=on_segment)
+                     on_segment=on_segment,
+                     lr_scales=lr_scales)
 
 
 def _concat_results(waves):
@@ -141,6 +158,7 @@ def _run_wave(
     checkpoint_every: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
     on_segment=None,
+    lr_scales=None,
 ) -> TrialResults:
     """One resident wave of trials; optionally segmented with mid-run
     checkpoints (``checkpoint_every`` epochs) that ``resume_trials`` can
@@ -162,16 +180,19 @@ def _run_wave(
         cfg, n_train=data.train_spec.shape[0], n_val=data.val_spec.shape[0]
     )
     keys = jax.random.split(jax.random.PRNGKey(seed), t_pad)
+    scales = jnp.ones((t_pad,), jnp.float32)
+    if lr_scales is not None:
+        scales = scales.at[:n_trials].set(jnp.asarray(lr_scales, jnp.float32))
 
     trial_sharding = NamedSharding(mesh, P("trial"))
     replicated = NamedSharding(mesh, P())
 
     @jax.jit
-    def init_all(keys):
-        return jax.vmap(trainer.init_state)(keys)
+    def init_all(keys, scales):
+        return jax.vmap(trainer.init_state)(keys, scales)
 
     start_epoch = 0
-    states = init_all(keys)
+    states = init_all(keys, scales)
     if checkpoint_dir:
         progress_fn = os.path.join(checkpoint_dir, "progress.json")
         state_fn = os.path.join(checkpoint_dir, "trial_state.mpk")

@@ -166,7 +166,13 @@ class RankAAETrainer:
             return out, mut.get("batch_stats", stats)
         return module.apply(variables, x, *args, train=False), stats
 
-    def init_state(self, rng) -> TrainState:
+    def init_state(self, rng, lr_scale=1.0) -> TrainState:
+        """Fresh training state.
+
+        ``lr_scale`` multiplies every optimizer's initial learning rate (the
+        plateau schedulers carry lr as runtime state, so it can differ per
+        trial under ``vmap`` — net-new hyperparameter sweep over the trial
+        axis, see ``parallel.run_trials(lr_scales=...)``)."""
         cfg = self.cfg
         k_enc, k_dec, k_dis, k_run = jax.random.split(rng, 4)
         rngs = lambda k: {"params": k, "dropout": jax.random.fold_in(k, 1),
@@ -188,6 +194,9 @@ class RankAAETrainer:
             sub = {k: params[k] for k in subset}
             opt[name] = self.opts[name].init(sub)
             sched[name] = plateau_init(getattr(cfg, ratio_attr) * cfg.lr_base)
+            if not isinstance(lr_scale, float) or lr_scale != 1.0:
+                sched[name] = sched[name]._replace(
+                    lr=sched[name].lr * jnp.asarray(lr_scale, jnp.float32))
         return TrainState(
             params=params,
             batch_stats=batch_stats,

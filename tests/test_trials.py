@@ -30,6 +30,28 @@ def test_run_trials_shapes_and_independence(tiny_data):
     assert np.all(np.isfinite(res.logs["val_recon"]))
 
 
+def test_lr_sweep_over_trial_axis(tiny_data):
+    """Net-new HPO sweep: per-trial lr_scales change outcomes, and an
+    all-ones sweep is numerically identical to no sweep (x*1.0 is exact)."""
+    cfg = _tiny_cfg(max_epoch=3)
+    base = run_trials(cfg, tiny_data, n_trials=4, seed=5)
+    ones = run_trials(cfg, tiny_data, n_trials=4, seed=5,
+                      lr_scales=np.ones(4, np.float32))
+    np.testing.assert_array_equal(base.logs["val_recon"], ones.logs["val_recon"])
+
+    swept = run_trials(cfg, tiny_data, n_trials=4, seed=5,
+                       lr_scales=np.asarray([1.0, 0.1, 3.0, 10.0], np.float32))
+    # lane 0 (scale 1) identical to the unswept run; scaled lanes diverge
+    np.testing.assert_array_equal(swept.logs["val_recon"][0],
+                                  base.logs["val_recon"][0])
+    for t in (1, 2, 3):
+        assert not np.allclose(swept.logs["val_recon"][t],
+                               base.logs["val_recon"][t])
+
+    with pytest.raises(ValueError):
+        run_trials(cfg, tiny_data, n_trials=4, lr_scales=np.ones(3))
+
+
 def test_run_trials_padding_non_divisible(tiny_data):
     """5 trials on 8 devices: padded lanes must be sliced off."""
     cfg = _tiny_cfg(max_epoch=2)
