@@ -31,14 +31,10 @@ def _eval_f32(apply_fn):
     (``primitives.get_activation_dtype``); inference/report forwards always
     run parity-exact f32 even when the same process trained at bf16."""
     def inner(*args):
-        from rankaae_tpu.models import primitives
+        from rankaae_tpu.models.primitives import activation_dtype_scope
 
-        prev = primitives._ACT_DTYPE
-        primitives._ACT_DTYPE = jnp.float32
-        try:
+        with activation_dtype_scope("float32"):
             return apply_fn(*args)
-        finally:
-            primitives._ACT_DTYPE = prev
 
     return jax.jit(inner)
 

@@ -79,6 +79,24 @@ def get_activation_dtype():
     return _ACT_DTYPE
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def activation_dtype_scope(name: str):
+    """Temporarily force the activation dtype (trace-time knob).
+
+    Used by eval/inference paths to pin parity-exact f32 regardless of the
+    process's training setting; restores the previous dtype on exit."""
+    global _ACT_DTYPE
+    prev = _ACT_DTYPE
+    set_activation_dtype(name)
+    try:
+        yield
+    finally:
+        _ACT_DTYPE = prev
+
+
 # ---------------------------------------------------------------------------
 # torch-default initializers
 # ---------------------------------------------------------------------------
@@ -335,7 +353,7 @@ def gaussian_smooth_1d(x: jnp.ndarray, kernel_size: int = 17, sigma: float = 3.0
     constant folded into the XLA program — no parameters.
     """
     pad = (kernel_size - 1) // 2
-    x = x.astype(jnp.float32)   # loss-side smoothing always in f32
+    x = jnp.asarray(x, jnp.float32)   # loss-side smoothing always in f32 (asarray: shim feeds torch tensors)
     kernel = gaussian_kernel_1d(kernel_size, sigma)
     xp = jnp.pad(x[:, None, :], ((0, 0), (0, 0), (pad, pad)), mode="edge")
     y = jax.lax.conv_general_dilated(

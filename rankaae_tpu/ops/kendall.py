@@ -67,8 +67,8 @@ def kendall_constraint(descriptors, styles, activate: bool = False):
     styles : (B, K) latent styles (differentiated).
     activate : per-descriptor concordant-pair reweighting.
     """
-    descriptors = descriptors.astype(jnp.float32)
-    styles = styles.astype(jnp.float32)
+    descriptors = jnp.asarray(descriptors, jnp.float32)
+    styles = jnp.asarray(styles, jnp.float32)
     b, k = styles.shape
     norm = (b * b - b) * k
     if not activate:

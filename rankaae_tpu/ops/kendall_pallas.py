@@ -176,8 +176,6 @@ def _prepare(descriptors, styles):
 def kendall_constraint_pallas(descriptors, styles, activate: bool = False):
     """Fused-kernel Kendall loss; numerically equal to
     ``rankaae_tpu.ops.kendall.kendall_constraint``."""
-    descriptors = descriptors.astype(jnp.float32)
-    styles = styles.astype(jnp.float32)
     loss, _ = _kendall_fwd(descriptors, styles, activate)
     return loss
 
@@ -211,8 +209,6 @@ def kendall_constraint_auto(descriptors, styles, activate: bool = False):
     row-block (B >= block size); small batches — e.g. the trailing partial
     batch or tiny validation sets — would pad to a mostly-masked block and
     waste work, so they take the O(B*K) XLA rank-trick path instead."""
-    descriptors = descriptors.astype(jnp.float32)
-    styles = styles.astype(jnp.float32)
     from rankaae_tpu.ops.kendall import kendall_constraint
 
     on_tpu = jax.default_backend() in ("tpu", "axon")

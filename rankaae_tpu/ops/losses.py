@@ -16,13 +16,14 @@ from rankaae_tpu.models.primitives import gaussian_smooth_1d
 
 
 def mse(a, b):
-    # losses always reduce in float32 (activations may be bf16)
-    return jnp.mean(jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32)))
+    # losses always reduce in float32 (activations may be bf16).
+    # jnp.asarray, not .astype: the sc-shim feeds these torch tensors too.
+    return jnp.mean(jnp.square(jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32)))
 
 
 def bce_with_logits(logits, targets):
     """Mean binary cross-entropy on logits (torch ``BCEWithLogitsLoss``)."""
-    logits = logits.astype(jnp.float32)
+    logits = jnp.asarray(logits, jnp.float32)
     # log(1+exp(-|x|)) formulation for stability
     return jnp.mean(
         jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
@@ -32,7 +33,7 @@ def bce_with_logits(logits, targets):
 def nll_loss(log_probs, targets):
     """Mean negative log-likelihood over integer class targets
     (torch ``NLLLoss`` on log-probabilities)."""
-    log_probs = log_probs.astype(jnp.float32)
+    log_probs = jnp.asarray(log_probs, jnp.float32)
     return -jnp.mean(jnp.take_along_axis(log_probs, targets[:, None], axis=1))
 
 
@@ -44,8 +45,8 @@ def recon_loss(spec_in, spec_out, scale: bool = False):
     penalty, then detached, clamped to [0.7, 1.3], and used to rescale the
     target before the MSE.
     """
-    spec_in = spec_in.astype(jnp.float32)
-    spec_out = spec_out.astype(jnp.float32)
+    spec_in = jnp.asarray(spec_in, jnp.float32)
+    spec_out = jnp.asarray(spec_out, jnp.float32)
     if not scale:
         return mse(spec_out, spec_in)
     spec_scale = jnp.abs(jnp.mean(spec_out, axis=1)) / jnp.abs(jnp.mean(spec_in, axis=1))

@@ -36,7 +36,7 @@ def spearman_rho(x, y):
 def max_interstyle_spearman(styles):
     """max |spearman(style_i, style_j)| over all style pairs
     (reference ``trainer.py:288-293``).  styles: (N, nstyle)."""
-    styles = styles.astype(jnp.float32)
+    styles = jnp.asarray(styles, jnp.float32)
     nstyle = styles.shape[1]
     ranks = jnp.argsort(jnp.argsort(styles, axis=0), axis=0).astype(jnp.float32)
     ranks = ranks - jnp.mean(ranks, axis=0, keepdims=True)
@@ -54,7 +54,7 @@ def shapiro_w(x):
     n ~ 1000).  Returns only the statistic — the reference never uses the
     p-value (``trainer.py:287``).
     """
-    x = x.astype(jnp.float32)
+    x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
     xs = jnp.sort(x)
     i = jnp.arange(1, n + 1, dtype=jnp.float32)

@@ -107,6 +107,15 @@ def run_trials(
             raise ValueError(
                 f"lr_scales must have shape ({n_trials},), got {lr_scales.shape}"
             )
+        if cfg.optimizer_name == "AdaBound":
+            # AdaBound's bound target uses a static base_lr captured at
+            # optimizer construction; scaling only the runtime lr would make
+            # swept trials correspond to no real AdaBound configuration
+            raise NotImplementedError(
+                "lr_scales is not supported with AdaBound (its lr-bound "
+                "schedule depends on a static base_lr); sweep Adam/AdamW/"
+                "RAdam, or run separate AdaBound configs"
+            )
 
     max_wave = max(1, int(max_resident_per_device * n_dev))
     if n_trials > max_wave:
@@ -199,7 +208,19 @@ def _run_wave(
         if os.path.exists(progress_fn) and os.path.exists(state_fn):
             with open(progress_fn) as f:
                 progress = json.load(f)
-            if progress.get("n_trials") == n_trials and progress.get("seed") == seed:
+            saved_scales = progress.get("lr_scales")
+            want_scales = None if lr_scales is None else \
+                [float(x) for x in lr_scales]
+            if progress.get("n_trials") == n_trials and \
+                    progress.get("seed") == seed:
+                if saved_scales != want_scales:
+                    # the checkpointed optimizer lrs embody the ORIGINAL
+                    # sweep; silently relabeling them would corrupt the
+                    # sweep's record (messages.txt logs the new scales)
+                    raise ValueError(
+                        f"resume lr_scales mismatch: checkpoint was trained "
+                        f"with {saved_scales}, resume requested {want_scales}"
+                    )
                 states = load_train_state(state_fn, states)
                 start_epoch = int(progress["epoch"])
     states = jax.device_put(states, trial_sharding)
@@ -230,7 +251,9 @@ def _run_wave(
             os.makedirs(checkpoint_dir, exist_ok=True)
             save_train_state(os.path.join(checkpoint_dir, "trial_state.mpk"), states)
             with open(os.path.join(checkpoint_dir, "progress.json"), "w") as f:
-                json.dump({"epoch": e1, "n_trials": n_trials, "seed": seed}, f)
+                json.dump({"epoch": e1, "n_trials": n_trials, "seed": seed,
+                           "lr_scales": None if lr_scales is None
+                           else [float(x) for x in lr_scales]}, f)
         e0 = e1
 
     if len(log_parts) == 1:

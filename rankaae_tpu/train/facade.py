@@ -118,14 +118,14 @@ class Trainer:
         (``sc/clustering/trainer.py:323-330``): nstyle shared-axis rows,
         step-style histograms over bins ``arange(-3, 3.01, 0.2)``.
         """
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+        # build via Figure directly — no pyplot, so the user's interactive
+        # backend is left untouched (the reference hook never switches it)
+        from matplotlib.figure import Figure
 
         z = np.asarray(z)
         nstyle = self.core.cfg.nstyle
-        fig, ax_list = plt.subplots(
-            nstyle, 1, sharex=True, sharey=True, figsize=(9, 12))
+        fig = Figure(figsize=(9, 12))
+        ax_list = fig.subplots(nstyle, 1, sharex=True, sharey=True)
         bins = np.arange(-3.0, 3.01, 0.2)
         for istyle, ax in zip(range(nstyle), np.atleast_1d(ax_list)):
             ax.hist(z[:, istyle], bins=bins, color="blue",

@@ -132,8 +132,18 @@ def _build_torch_modules(m, params, batch_stats, cfg):
         dec_cls = m.Decoder if cfg.ae_form == "normal" else m.CompactDecoder
         enc = enc_cls(dropout_rate=cfg.dropout_rate, nstyle=cfg.nstyle,
                       dim_in=cfg.dim_in)
-        dec = dec_cls(dropout_rate=cfg.dropout_rate, nstyle=cfg.nstyle,
-                      last_layer_activation=cfg.decoder_activation)
+        if cfg.ae_form == "normal":
+            if cfg.dim_out != 256:
+                raise ValueError(
+                    "the reference Decoder is architecturally fixed at "
+                    f"dim_out=256 (model.py:381-427); bundle has {cfg.dim_out}"
+                )
+            dec = dec_cls(dropout_rate=cfg.dropout_rate, nstyle=cfg.nstyle,
+                          last_layer_activation=cfg.decoder_activation)
+        else:
+            dec = dec_cls(dropout_rate=cfg.dropout_rate, nstyle=cfg.nstyle,
+                          last_layer_activation=cfg.decoder_activation,
+                          dim_out=cfg.dim_out)
         for i, tblock in enumerate(enc.main):
             _fill_coding_block(tblock, params["enc"][f"block{i}"],
                                batch_stats["enc"][f"block{i}"])

@@ -41,6 +41,16 @@ s = jnp.asarray(np.random.default_rng(1).normal(size=(32, 5)).astype("float32"))
 val = float(kendall_constraint(d, s, activate=True, device="ignored"))
 assert abs(val) < 1.0
 
+# the array-only losses are drop-ins for torch-tensor inputs too (the
+# reference's callers pass tensors; jnp.asarray entry casts, not .astype)
+import torch as _t
+d_t, s_t = _t.tensor(np.asarray(d)), _t.tensor(np.asarray(s))
+assert abs(float(kendall_constraint(d_t, s_t, activate=True)) - val) < 1e-5
+spec_a = _t.rand(8, 64) + 0.5
+spec_b = spec_a * 1.01
+assert float(recon_loss(spec_a, spec_b, scale=True)) >= 0.0
+assert float(smoothness_loss(spec_b, 17)) >= 0.0
+
 # the model-calling losses accept torch modules with the reference signatures
 import torch
 import torch.nn as nn

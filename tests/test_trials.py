@@ -51,6 +51,33 @@ def test_lr_sweep_over_trial_axis(tiny_data):
     with pytest.raises(ValueError):
         run_trials(cfg, tiny_data, n_trials=4, lr_scales=np.ones(3))
 
+    # AdaBound's bound schedule has a static base_lr — sweeping it is refused
+    with pytest.raises(NotImplementedError):
+        run_trials(_tiny_cfg(optimizer_name="AdaBound"), tiny_data,
+                   n_trials=4, lr_scales=np.ones(4))
+
+
+def test_lr_sweep_resume_mismatch_refused(tiny_data, tmp_path):
+    """A checkpointed sweep cannot be resumed under different lr_scales —
+    the checkpointed optimizer lrs embody the original sweep."""
+    cfg = _tiny_cfg(max_epoch=4)
+    scales = np.asarray([1.0, 2.0, 0.5, 1.5], np.float32)
+    ck = str(tmp_path / "state")
+    run_trials(cfg, tiny_data, n_trials=4, seed=2, checkpoint_every=2,
+               checkpoint_dir=ck, lr_scales=scales)
+    # simulate a crash mid-run: rewind progress so a resume would continue
+    import json
+    prog = json.load(open(f"{ck}/progress.json"))
+    prog["epoch"] = 2
+    json.dump(prog, open(f"{ck}/progress.json", "w"))
+    with pytest.raises(ValueError, match="lr_scales mismatch"):
+        run_trials(cfg, tiny_data, n_trials=4, seed=2, checkpoint_every=2,
+                   checkpoint_dir=ck, lr_scales=np.ones(4, np.float32))
+    # same scales resume fine
+    res = run_trials(cfg, tiny_data, n_trials=4, seed=2, checkpoint_every=2,
+                     checkpoint_dir=ck, lr_scales=scales)
+    assert res.n_trials == 4
+
 
 def test_run_trials_padding_non_divisible(tiny_data):
     """5 trials on 8 devices: padded lanes must be sliced off."""
