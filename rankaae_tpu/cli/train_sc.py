@@ -135,14 +135,19 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
         if checkpoint_dir is None:
             # (incremental mode already wrote losses.csv per segment)
             write_losses_csv(os.path.join(job_dir, "losses.csv"), tr["logs"])
+        final_extra = {"final_metrics": [float(x) for x in tr["final_metrics"]]}
+        if lr_scales is not None:
+            final_extra["lr_scale"] = float(lr_scales[i])
         save_model_bundle(
             os.path.join(job_dir, "final.mpk"),
             tr["final_params"], tr["final_batch_stats"], cfg,
-            extra={"final_metrics": [float(x) for x in tr["final_metrics"]]},
+            extra=final_extra,
         )
         # net-new: the true best (min combined metric) — the reference's
         # best.pt gate is dead code (SURVEY.md §2.4 / trainer docstring)
         best_extra = {"best_epoch": tr["best_epoch"], "best_combined": tr["best_combined"]}
+        if lr_scales is not None:
+            best_extra["lr_scale"] = float(lr_scales[i])
         save_model_bundle(
             os.path.join(job_dir, "best_tracked.mpk"),
             tr["best_params"], tr["best_batch_stats"], cfg, extra=best_extra,

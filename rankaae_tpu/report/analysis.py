@@ -310,12 +310,19 @@ def evaluate_all_models(model_path: str, test_ds,
     net-new option: the final epoch is a lottery draw once the plateau
     schedulers freeze training (see PARITY_RESULTS_1500.md), and the
     reference's own best-checkpoint gate is dead code upstream."""
+    from rankaae_tpu.utils.checkpoint import load_model_bundle
+
     result = {}
     for job in sorted(os.listdir(model_path)):
         if job.startswith("job_"):
             bundle = os.path.join(model_path, job, bundle_name)
             model = InferenceModel.from_bundle(bundle)
             result[job] = evaluate_model(test_ds, model)
+            # surface swept hyperparameters in the selection report so the
+            # winning trial identifies its configuration (lr-sweep runs)
+            extra = load_model_bundle(bundle)[3]
+            if "lr_scale" in extra:
+                result[job]["lr_scale"] = extra["lr_scale"]
     return result
 
 

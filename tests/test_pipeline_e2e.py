@@ -68,12 +68,14 @@ def work_dir(tmp_path_factory):
 def test_train_sc_produces_artifacts(work_dir):
     from rankaae_tpu.cli.train_sc import main
 
-    main(["-c", "fix_config.yaml", "-w", work_dir])
+    main(["-c", "fix_config.yaml", "-w", work_dir, "--lr-sweep", "0.5,2"])
 
     assert os.path.exists(os.path.join(work_dir, "main_process_message.txt"))
     for i in (1, 2):
         job = os.path.join(work_dir, "training", f"job_{i}")
         assert os.path.exists(os.path.join(job, "messages.txt"))
+        # the sweep records each trial's configuration
+        assert "lr_scale:" in open(os.path.join(job, "messages.txt")).read()
         assert os.path.exists(os.path.join(job, "losses.csv"))
         assert os.path.exists(os.path.join(job, "final.mpk"))
         assert os.path.exists(os.path.join(job, "best_tracked.mpk"))
@@ -112,6 +114,8 @@ def test_generate_report_produces_artifacts(work_dir):
         assert "Reconstruct Err" in result
         assert "Rank" in result and "Score" in result
         assert result["Style-descriptor Corr"]["1"]["F1 score"] is not None
+    # swept runs surface each trial's lr_scale in the selection report
+    assert {round(report[j]["lr_scale"], 3) for j in report} == {0.5, 2.0}
 
     # spectra dumps well-formed
     spec_out = np.loadtxt(os.path.join(work_dir, "report.out"))
