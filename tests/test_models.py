@@ -198,3 +198,32 @@ def test_fc_discriminator_forward_parity_with_reference(rng):
     ours = mod.apply({"params": params}, jnp.asarray(x), None, train=False)
     theirs = tdis(torch.tensor(x), None).detach().numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-4)
+
+
+def test_inference_pins_f32_under_bf16_process(rng):
+    """Report/serving forwards stay parity-exact f32 even when the process
+    trained at activation_dtype=bfloat16 (primitives.activation_dtype_scope)."""
+    import jax
+
+    from rankaae_tpu.models import primitives
+    from rankaae_tpu.models.inference import InferenceModel
+    from rankaae_tpu.train.trainer import RankAAETrainer
+    from rankaae_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(ae_form="FC", nstyle=6, n_aux=5, dim_in=64, dim_out=64,
+                      n_layers=3, decoder_activation="Softplus", batch_size=32,
+                      activation_dtype="bfloat16")
+    trainer = RankAAETrainer(cfg, 64, 32)   # sets the process knob to bf16
+    try:
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        model = InferenceModel(
+            jax.tree_util.tree_map(np.asarray, state.params),
+            jax.tree_util.tree_map(np.asarray, state.batch_stats), cfg)
+        z = model.encode(rng.normal(size=(8, 64)).astype(np.float32))
+        assert z.dtype == np.float32
+        spec = model.decode(z)
+        assert spec.dtype == np.float32
+        # the knob itself is untouched after tracing
+        assert primitives.get_activation_dtype() == jnp.bfloat16
+    finally:
+        primitives.set_activation_dtype("float32")
