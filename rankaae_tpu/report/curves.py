@@ -127,9 +127,14 @@ class Reporter:
 
     def add_evaluations(self, evaluation_list):
         for ev in evaluation_list:
-            job = ev.metadata.get("model", f"job_{len(self.evaluations)+1}")
-            self.evaluations[os.path.basename(os.path.dirname(str(job)))
-                             or str(job)] = ev.result
+            job = ev.metadata.get("model")
+            if job is None:
+                # evaluators with no model path (e.g. Reconstruct) must not
+                # collapse onto one shared key
+                key = f"evaluation_{len(self.evaluations)+1}"
+            else:
+                key = os.path.basename(os.path.dirname(str(job))) or str(job)
+            self.evaluations[key] = ev.result
 
     def evaluate_all_models(self, training_path: str = "./training",
                             test_ds=None):

@@ -121,12 +121,19 @@ def _candidates(
     signal: str = "spec",        # "spec" | "-spec" | "-d2"
     lo: Optional[float] = None,
     hi: Optional[float] = None,
-    min_height: Optional[float] = None,
+    min_height: Optional[float] = 0.0,
     min_prominence: float = 0.0,
     max_width: Optional[float] = None,
 ) -> np.ndarray:
     """Indices (into the grid) of local maxima of the chosen signal inside
-    [lo, hi], sorted by position.  ``max_width`` is in grid units."""
+    [lo, hi], sorted by position.  ``max_width`` is in grid units.
+
+    ``min_height=0`` is the spec's default (reference ``find_peak_in_range``,
+    ``descriptors.py:326``): on "-spec"/"-d2" signals it admits only
+    non-positive spectrum / concave-curvature points, which is what makes
+    the reference's pit search always fall back to the region argmin on
+    positive XANES spectra.
+    """
     y = {"spec": view.spec, "-spec": -view.spec, "-d2": -view.d2}[signal]
     width = (0, None if max_width is None else max_width / view.step)
     idx, props = find_peaks(y, height=min_height, prominence=min_prominence,
@@ -309,19 +316,19 @@ def intensity_at_energy(view: SpectrumView, energy: float,
 # orchestration
 # --------------------------------------------------------------------------- #
 
-_DERIVED = ("main_last_separation", "main_pit_separation", "pit_last_spread",
-            "pit_last_separation", "fluctuation")
-
-
 def extract_descriptors(view: SpectrumView, features="all",
-                        energy: Optional[float] = None) -> Dict[str, Dict]:
+                        energy: Optional[float] = None,
+                        return_edge_curve: bool = False):
     """Run the requested extractors in dependency order and return the nested
-    descriptor dict {feature_group: {name: value}}."""
+    descriptor dict {feature_group: {name: value}} (plus the fitted arctan
+    edge curve when ``return_edge_curve`` — avoids re-running the curve_fit
+    for callers that also plot it)."""
     want = lambda f: features == "all" or f in features
     out: Dict[str, Dict] = {"other": {}}
 
+    arctan = None
     if want("edge") or energy is not None:
-        out["edge"], _ = edge_descriptor(view)
+        out["edge"], arctan = edge_descriptor(view)
     edge_pos = out.get("edge", {}).get("position")
     if want("main_peak"):
         out["main_peak"] = main_peak_descriptor(view)
@@ -350,7 +357,7 @@ def extract_descriptors(view: SpectrumView, features="all",
     if energy is not None:
         label, _, value = intensity_at_energy(view, energy, edge_pos)
         out["other"][f"intensity_{label:.1f}"] = value
-    return out
+    return (out, arctan) if return_edge_curve else out
 
 
 def flatten_descriptors(nested: Dict[str, Dict]) -> Dict[str, float]:
@@ -478,14 +485,15 @@ class SpecDescriptors:
             absolute, window)
 
     def find_descriptors(self, features="all", energy=None):
-        nested = extract_descriptors(self.view, features=features, energy=energy)
+        nested, arctan = extract_descriptors(
+            self.view, features=features, energy=energy, return_edge_curve=True)
         for group in self.GROUPS:
             if group in nested:
                 setattr(self, group, nested[group])
         self.other.update(nested["other"])
-        if "edge" in nested:
-            # keep the fitted curve available for plotting
-            _, self.arctan = edge_descriptor(self.view)
+        if arctan is not None:
+            # keep the fitted curve available for plotting (no second fit)
+            self.arctan = arctan
 
     def as_dict(self) -> Dict[str, float]:
         nested = {g: getattr(self, g) for g in self.GROUPS if getattr(self, g)}

@@ -81,7 +81,16 @@ def _as_float_labels(labels, loss_fn):
     always built long labels, which crashes its own BCE path)."""
     if isinstance(loss_fn, (nn.BCELoss, nn.BCEWithLogitsLoss)):
         return labels.float()
-    return labels
+    return labels.long()
+
+
+def _flat_logits(pred):
+    """Collapse a trailing 1-logit dim for the BCE path; keep (B, C) class
+    logits intact (a bare .squeeze() would also drop the batch dim at B=1,
+    breaking CrossEntropy on single-row inputs)."""
+    if pred.dim() == 2 and pred.size(-1) == 1:
+        return pred.squeeze(-1)
+    return pred
 
 
 def adversarial_loss(spec_in, styles, D, alpha, batch_size=100, nll_loss=None,
@@ -91,14 +100,20 @@ def adversarial_loss(spec_in, styles, D, alpha, batch_size=100, nll_loss=None,
     if device is None:
         device = torch.device("cpu")
     if nll_loss is None:
-        nll_loss = nn.NLLLoss().to(device)
+        # the reference's default (NLLLoss, functions.py:121) crashes on its
+        # own float labels; its only real caller passes BCEWithLogitsLoss
+        # (trainer.py:73,119-124), so that is the working default here
+        nll_loss = nn.BCEWithLogitsLoss().to(device)
     nstyle = styles.size()[1]
     z_real = torch.randn(batch_size, nstyle, requires_grad=True, device=device)
     real_pred = D(z_real, alpha)
     fake_pred = D(styles, alpha)
-    ones = torch.ones(batch_size, dtype=torch.float32, device=device)
-    zeros = torch.zeros(spec_in.size()[0], dtype=torch.float32, device=device)
-    return nll_loss(real_pred.squeeze(), ones) + nll_loss(fake_pred.squeeze(), zeros)
+    ones = _as_float_labels(
+        torch.ones(batch_size, dtype=torch.long, device=device), nll_loss)
+    zeros = _as_float_labels(
+        torch.zeros(spec_in.size()[0], dtype=torch.long, device=device), nll_loss)
+    return nll_loss(_flat_logits(real_pred), ones) + \
+        nll_loss(_flat_logits(fake_pred), zeros)
 
 
 def discriminator_loss(styles, D, batch_size=100, loss_fn=None, device=None):
@@ -115,7 +130,7 @@ def discriminator_loss(styles, D, batch_size=100, loss_fn=None, device=None):
         torch.ones(batch_size, dtype=torch.long, device=device), loss_fn)
     zeros = _as_float_labels(
         torch.zeros(styles.size()[0], dtype=torch.long, device=device), loss_fn)
-    return loss_fn(real_pred.squeeze(), ones) + loss_fn(fake_pred.squeeze(), zeros)
+    return loss_fn(_flat_logits(real_pred), ones) + loss_fn(_flat_logits(fake_pred), zeros)
 
 
 def generator_loss(spec_in, encoder, D, loss_fn=None, device=None):
@@ -131,7 +146,7 @@ def generator_loss(spec_in, encoder, D, loss_fn=None, device=None):
     pred = D(styles, None)
     ones = _as_float_labels(
         torch.ones(styles.size()[0], dtype=torch.long, device=device), loss_fn)
-    return loss_fn(pred.squeeze(), ones)
+    return loss_fn(_flat_logits(pred), ones)
 
 
 def mutual_info_loss(spec_in, styles, encoder, decoder, mse_loss=None,
