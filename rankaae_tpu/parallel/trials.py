@@ -29,7 +29,11 @@ import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from rankaae_tpu.train.trainer import RankAAETrainer, TrialData
+from rankaae_tpu.train.trainer import (
+    SWEEPABLE_HPARAMS,
+    RankAAETrainer,
+    TrialData,
+)
 from rankaae_tpu.utils.config import TrainConfig
 
 
@@ -80,6 +84,7 @@ def run_trials(
     checkpoint_dir: Optional[str] = None,
     on_segment=None,
     lr_scales=None,
+    sweep=None,
 ) -> TrialResults:
     """Train ``n_trials`` independent trials concurrently across the mesh.
 
@@ -96,6 +101,11 @@ def run_trials(
     hyperparameter-SWEEP axis — the reference's process pool can only run
     identical configurations.  All trials still share one compiled program
     (lr is runtime plateau state).
+
+    ``sweep`` (net-new): dict of per-trial arrays for the runtime-safe
+    config knobs (``trainer.SWEEPABLE_HPARAMS``: spec_noise, alpha_limit,
+    alpha_flat_step), e.g. ``sweep={"spec_noise": np.linspace(0, 0.05, 8)}``.
+    Composable with ``lr_scales``.
     """
     n_trials = cfg.trials if n_trials is None else n_trials
     if mesh is None:
@@ -117,6 +127,16 @@ def run_trials(
                 "RAdam, or run separate AdaBound configs"
             )
 
+    if sweep is not None:
+        sweep = {k: np.asarray(v, np.float32) for k, v in sweep.items()}
+        for k, v in sweep.items():
+            if k not in SWEEPABLE_HPARAMS:
+                raise KeyError(
+                    f"{k!r} is not sweepable; choose from {SWEEPABLE_HPARAMS}")
+            if v.shape != (n_trials,):
+                raise ValueError(
+                    f"sweep[{k!r}] must have shape ({n_trials},), got {v.shape}")
+
     max_wave = max(1, int(max_resident_per_device * n_dev))
     if n_trials > max_wave:
         if checkpoint_dir is not None:
@@ -131,14 +151,17 @@ def run_trials(
             waves.append(_run_wave(
                 cfg, data, take, seed + done, mesh,
                 lr_scales=None if lr_scales is None
-                else lr_scales[done:done + take]))
+                else lr_scales[done:done + take],
+                sweep=None if sweep is None
+                else {k: v[done:done + take] for k, v in sweep.items()}))
             done += take
         return _concat_results(waves)
     return _run_wave(cfg, data, n_trials, seed, mesh,
                      checkpoint_every=checkpoint_every,
                      checkpoint_dir=checkpoint_dir,
                      on_segment=on_segment,
-                     lr_scales=lr_scales)
+                     lr_scales=lr_scales,
+                     sweep=sweep)
 
 
 def _concat_results(waves):
@@ -168,6 +191,7 @@ def _run_wave(
     checkpoint_dir: Optional[str] = None,
     on_segment=None,
     lr_scales=None,
+    sweep=None,
 ) -> TrialResults:
     """One resident wave of trials; optionally segmented with mid-run
     checkpoints (``checkpoint_every`` epochs) that ``resume_trials`` can
@@ -192,16 +216,23 @@ def _run_wave(
     scales = jnp.ones((t_pad,), jnp.float32)
     if lr_scales is not None:
         scales = scales.at[:n_trials].set(jnp.asarray(lr_scales, jnp.float32))
+    hp = None
+    if sweep is not None:
+        # padded lanes train at the config defaults
+        hp = {}
+        for k, v in sweep.items():
+            full = jnp.full((t_pad,), getattr(cfg, k), jnp.float32)
+            hp[k] = full.at[:n_trials].set(jnp.asarray(v, jnp.float32))
 
     trial_sharding = NamedSharding(mesh, P("trial"))
     replicated = NamedSharding(mesh, P())
 
     @jax.jit
-    def init_all(keys, scales):
-        return jax.vmap(trainer.init_state)(keys, scales)
+    def init_all(keys, scales, hp):
+        return jax.vmap(trainer.init_state)(keys, scales, hp)
 
     start_epoch = 0
-    states = init_all(keys, scales)
+    states = init_all(keys, scales, hp)
     if checkpoint_dir:
         progress_fn = os.path.join(checkpoint_dir, "progress.json")
         state_fn = os.path.join(checkpoint_dir, "trial_state.mpk")
@@ -211,9 +242,12 @@ def _run_wave(
             saved_scales = progress.get("lr_scales")
             want_scales = None if lr_scales is None else \
                 [float(x) for x in lr_scales]
+            saved_sweep = progress.get("sweep")
+            want_sweep = None if sweep is None else \
+                {k: [float(x) for x in v] for k, v in sweep.items()}
             if progress.get("n_trials") == n_trials and \
                     progress.get("seed") == seed:
-                if saved_scales != want_scales:
+                if saved_scales != want_scales or saved_sweep != want_sweep:
                     # the checkpointed optimizer lrs embody the ORIGINAL
                     # sweep; silently relabeling them would corrupt the
                     # sweep's record (messages.txt logs the new scales)
@@ -253,7 +287,10 @@ def _run_wave(
             with open(os.path.join(checkpoint_dir, "progress.json"), "w") as f:
                 json.dump({"epoch": e1, "n_trials": n_trials, "seed": seed,
                            "lr_scales": None if lr_scales is None
-                           else [float(x) for x in lr_scales]}, f)
+                           else [float(x) for x in lr_scales],
+                           "sweep": None if sweep is None
+                           else {k: [float(x) for x in v]
+                                 for k, v in sweep.items()}}, f)
         e0 = e1
 
     if len(log_parts) == 1:

@@ -111,6 +111,16 @@ class TrainState(NamedTuple):
     best_batch_stats: Dict[str, Any]
     # faithful-quirk gate (reference trainer.py:76,297-301; never fires)
     faithful_best: jnp.ndarray
+    # runtime-swept hyperparameters (net-new): per-state copies of the
+    # config knobs that are numerically safe to vary across vmapped trials.
+    # Defaults equal the config; parallel.run_trials(sweep=...) overrides
+    # them per trial so ONE compiled program trains many configurations.
+    hparams: Dict[str, jnp.ndarray]
+
+
+#: config knobs sweepable across the trial axis (values used as runtime
+#: scalars inside the traced step; everything else is baked into the program)
+SWEEPABLE_HPARAMS = ("spec_noise", "alpha_limit", "alpha_flat_step")
 
 
 class RankAAETrainer:
@@ -166,13 +176,15 @@ class RankAAETrainer:
             return out, mut.get("batch_stats", stats)
         return module.apply(variables, x, *args, train=False), stats
 
-    def init_state(self, rng, lr_scale=1.0) -> TrainState:
+    def init_state(self, rng, lr_scale=1.0, hparams=None) -> TrainState:
         """Fresh training state.
 
         ``lr_scale`` multiplies every optimizer's initial learning rate (the
         plateau schedulers carry lr as runtime state, so it can differ per
         trial under ``vmap`` — net-new hyperparameter sweep over the trial
-        axis, see ``parallel.run_trials(lr_scales=...)``)."""
+        axis, see ``parallel.run_trials(lr_scales=...)``).  ``hparams``
+        optionally overrides entries of :data:`SWEEPABLE_HPARAMS` (same
+        sweep mechanism for the noise/alpha knobs)."""
         cfg = self.cfg
         k_enc, k_dec, k_dis, k_run = jax.random.split(rng, 4)
         rngs = lambda k: {"params": k, "dropout": jax.random.fold_in(k, 1),
@@ -197,12 +209,21 @@ class RankAAETrainer:
             if not isinstance(lr_scale, float) or lr_scale != 1.0:
                 sched[name] = sched[name]._replace(
                     lr=sched[name].lr * jnp.asarray(lr_scale, jnp.float32))
+        hp = {k: jnp.asarray(getattr(cfg, k), jnp.float32)
+              for k in SWEEPABLE_HPARAMS}
+        if hparams:
+            for k, v in hparams.items():
+                if k not in SWEEPABLE_HPARAMS:
+                    raise KeyError(
+                        f"{k!r} is not sweepable; choose from {SWEEPABLE_HPARAMS}")
+                hp[k] = jnp.asarray(v, jnp.float32)
         return TrainState(
             params=params,
             batch_stats=batch_stats,
             opt=opt,
             sched=sched,
             rng=k_run,
+            hparams=hp,
             best_combined=jnp.asarray(jnp.inf, jnp.float32),
             best_epoch=jnp.asarray(-1, jnp.int32),
             best_params=jax.tree_util.tree_map(jnp.copy, params),
@@ -237,7 +258,7 @@ class RankAAETrainer:
         params, stats, opt, sched = state.params, state.batch_stats, state.opt, state.sched
 
         # input noise (trainer.py:112)
-        spec_in = spec + jax.random.normal(keys[0], spec.shape) * cfg.spec_noise
+        spec_in = spec + jax.random.normal(keys[0], spec.shape) * state.hparams["spec_noise"]
 
         def enc_fwd(p, s, x, k):
             return self._fwd(self.encoder, p, s["enc"], x, train=True,
@@ -503,7 +524,8 @@ class RankAAETrainer:
         k_perm, k_val = jax.random.split(k_epoch)
 
         alpha = alpha_schedule(
-            epoch.astype(jnp.float32) / cfg.max_epoch, cfg.alpha_flat_step, cfg.alpha_limit
+            epoch.astype(jnp.float32) / cfg.max_epoch,
+            state.hparams["alpha_flat_step"], state.hparams["alpha_limit"],
         ) if cfg.gradient_reversal else jnp.float32(0.0)
 
         # Reference batch semantics (DataLoader shuffle + drop_last=False,

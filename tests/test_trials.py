@@ -57,6 +57,32 @@ def test_lr_sweep_over_trial_axis(tiny_data):
                    n_trials=4, lr_scales=np.ones(4))
 
 
+def test_hparam_sweep_over_trial_axis(tiny_data):
+    """Net-new: spec_noise/alpha_limit sweep across the vmapped axis — one
+    compiled program, four different configurations."""
+    cfg = _tiny_cfg(max_epoch=3)
+    base = run_trials(cfg, tiny_data, n_trials=4, seed=7)
+    swept = run_trials(
+        cfg, tiny_data, n_trials=4, seed=7,
+        sweep={"spec_noise": np.asarray([cfg.spec_noise, 0.0, 0.3, 0.05]),
+               "alpha_limit": np.asarray([cfg.alpha_limit, 0.0, 0.9, 0.2])})
+    assert np.all(np.isfinite(swept.logs["val_recon"]))
+    # lane 0 runs at the config values; its only difference from the base
+    # run is constant-folding, so trajectories must agree to float noise
+    np.testing.assert_allclose(swept.logs["val_recon"][0],
+                               base.logs["val_recon"][0], rtol=1e-4)
+    # heavy input noise must change the trajectory
+    assert not np.allclose(swept.logs["val_recon"][2],
+                           base.logs["val_recon"][2])
+
+    with pytest.raises(KeyError):
+        run_trials(cfg, tiny_data, n_trials=4,
+                   sweep={"dropout_rate": np.ones(4)})
+    with pytest.raises(ValueError):
+        run_trials(cfg, tiny_data, n_trials=4,
+                   sweep={"spec_noise": np.ones(3)})
+
+
 def test_lr_sweep_resume_mismatch_refused(tiny_data, tmp_path):
     """A checkpointed sweep cannot be resumed under different lr_scales —
     the checkpointed optimizer lrs embody the original sweep."""
