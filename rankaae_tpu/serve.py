@@ -10,6 +10,12 @@ and every later call — any size — reuses it.
 CLI: ``python -m rankaae_tpu.serve bundle.mpk data.csv out_prefix``
 writes ``<out_prefix>_styles.txt`` and ``<out_prefix>_recon.txt`` for the
 whole CSV (all splits).
+
+Throughput note: in this development environment the chip is reached over a
+tunnel whose host<->device transfer tops out around tens of MB/s, so
+end-to-end serving measurements here measure the tunnel, not the design;
+the on-device encode+decode itself is sub-millisecond per 4096-spectrum
+batch (see the training-path numbers in README).
 """
 from __future__ import annotations
 
