@@ -19,9 +19,9 @@ Prints ONE JSON line:
    "mfu_pct": N}
 
 ``--form normal|compact`` benchmarks the conv autoencoder families instead
-(at ``matmul_precision: default`` — the deep "normal" program does not fit
-the remote compile helper at ``highest``); the JSON metric name is suffixed
-with the form.
+(at ``matmul_precision: default`` by default — what production would use;
+``--precision highest`` works too, with a ~19 min first compile for the
+deep "normal" program); the JSON metric name is suffixed with the form.
 """
 import argparse
 import json
@@ -99,9 +99,9 @@ def bench(form: str, trials: int, epochs: int, n_rows: int,
         max_epoch=epochs, trials=trials
     ) if _reference_available() else _fallback_cfg(epochs, trials)
     if form != "FC":
-        # conv families: the "normal" program does not fit the remote compile
-        # helper at matmul_precision "highest" (README known-gaps); "default"
-        # is also what bf16-MXU production runs would use
+        # conv families default to "default" precision (bf16 MXU passes —
+        # the production setting; "highest" also compiles, ~19 min first
+        # time for the deep "normal" program, override via --precision)
         cfg = cfg.replace(ae_form=form, matmul_precision="default")
     if precision is not None:
         cfg = cfg.replace(matmul_precision=precision)
@@ -181,7 +181,10 @@ def bench(form: str, trials: int, epochs: int, n_rows: int,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--form", default="FC", choices=["FC", "normal", "compact"])
-    ap.add_argument("--trials", type=int, default=32)
+    # default trials: 32 (the reference fixture config) for FC; 8 for the
+    # conv families — the deep "normal" program OOM-crashes the TPU worker
+    # at 32 resident trials (verify SKILL.md)
+    ap.add_argument("--trials", type=int, default=None)
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--rows", type=int, default=7000)
     # production precision: bf16 MXU passes.  Quality equivalence vs the
@@ -206,7 +209,9 @@ def main():
     ap.add_argument("--act", default="bfloat16",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args()
-    bench(args.form, args.trials, args.epochs, args.rows,
+    trials = args.trials if args.trials is not None else (
+        32 if args.form == "FC" else 8)
+    bench(args.form, trials, args.epochs, args.rows,
           precision=args.precision, rng_impl=args.rng, act_dtype=args.act)
 
 

@@ -248,12 +248,14 @@ def _run_wave(
             if progress.get("n_trials") == n_trials and \
                     progress.get("seed") == seed:
                 if saved_scales != want_scales or saved_sweep != want_sweep:
-                    # the checkpointed optimizer lrs embody the ORIGINAL
-                    # sweep; silently relabeling them would corrupt the
-                    # sweep's record (messages.txt logs the new scales)
+                    # the checkpointed optimizer lrs/hparams embody the
+                    # ORIGINAL sweep; silently relabeling them would corrupt
+                    # the sweep's record (messages.txt logs the new scales)
                     raise ValueError(
-                        f"resume lr_scales mismatch: checkpoint was trained "
-                        f"with {saved_scales}, resume requested {want_scales}"
+                        "resume sweep mismatch: checkpoint was trained with "
+                        f"lr_scales={saved_scales}, sweep={saved_sweep}; "
+                        f"resume requested lr_scales={want_scales}, "
+                        f"sweep={want_sweep}"
                     )
                 states = load_train_state(state_fn, states)
                 start_epoch = int(progress["epoch"])

@@ -310,7 +310,7 @@ def evaluate_all_models(model_path: str, test_ds,
     net-new option: the final epoch is a lottery draw once the plateau
     schedulers freeze training (see PARITY_RESULTS_1500.md), and the
     reference's own best-checkpoint gate is dead code upstream."""
-    from rankaae_tpu.utils.checkpoint import load_model_bundle
+    import json
 
     result = {}
     for job in sorted(os.listdir(model_path)):
@@ -319,8 +319,10 @@ def evaluate_all_models(model_path: str, test_ds,
             model = InferenceModel.from_bundle(bundle)
             result[job] = evaluate_model(test_ds, model)
             # surface swept hyperparameters in the selection report so the
-            # winning trial identifies its configuration (lr-sweep runs)
-            extra = load_model_bundle(bundle)[3]
+            # winning trial identifies its configuration (lr-sweep runs);
+            # the sidecar manifest carries them — no second payload load
+            with open(bundle + ".json") as f:
+                extra = json.load(f).get("extra", {})
             if "lr_scale" in extra:
                 result[job]["lr_scale"] = extra["lr_scale"]
     return result

@@ -214,11 +214,16 @@ def edge_descriptor(view: SpectrumView):
     }, fitted
 
 
-def main_peak_descriptor(view: SpectrumView, lo=None, hi=None):
+def main_peak_descriptor(view: SpectrumView, lo=None, hi=None,
+                         min_prominence: float = 0.0,
+                         max_width=None, intensity_window=None):
     """The white line: leftmost tall peak, unless a later one is taller by
     more than :data:`MAIN_PEAK_TALLER_BY`; curvature-valley fallback when no
-    candidate clears :data:`MAIN_PEAK_MIN_HEIGHT`."""
-    idx = _candidates(view, lo=lo, hi=hi, min_height=MAIN_PEAK_MIN_HEIGHT)
+    candidate clears :data:`MAIN_PEAK_MIN_HEIGHT`.  The optional candidate
+    filters and intensity window mirror the reference's ``find_main_peak``
+    keywords (``descriptors.py:76``)."""
+    idx = _candidates(view, lo=lo, hi=hi, min_height=MAIN_PEAK_MIN_HEIGHT,
+                      min_prominence=min_prominence, max_width=max_width)
     if len(idx):
         heights = view.spec[idx]
         ranked = np.sort(heights)
@@ -230,7 +235,9 @@ def main_peak_descriptor(view: SpectrumView, lo=None, hi=None):
     refined = refine_extremum(view, pos, REFINE_WINDOW["main_peak"], "max")
     return {
         "position": pos,
-        "intensity": view.window_mean(pos),
+        "intensity": view.window_mean(
+            pos, INTENSITY_WINDOW if intensity_window is None
+            else intensity_window),
         "curvature": refined["curvature"],
     }
 
@@ -444,8 +451,17 @@ class SpecDescriptors:
     def find_edge(self):
         self.edge, self.arctan = edge_descriptor(self.view)
 
-    def find_main_peak(self, left=None, right=None):
-        self.main_peak = main_peak_descriptor(self.view, lo=left, hi=right)
+    def find_main_peak(self, window=1, left=None, right=None,
+                       width=(0, None), prominence=(0, None)):
+        """Reference signature (``descriptors.py:76``): ``window`` is the
+        intensity-averaging width; ``width``/``prominence`` filter the
+        candidate peaks (their lower bounds map onto scipy find_peaks)."""
+        self.main_peak = main_peak_descriptor(
+            self.view, lo=left, hi=right,
+            min_prominence=(prominence[0] if isinstance(prominence, tuple)
+                            else prominence) or 0.0,
+            max_width=width[1] if isinstance(width, tuple) else None,
+            intensity_window=window)
 
     def find_main_pit(self, curvature_window=None):
         self.pit = pit_descriptor(self.view, self.edge["position"],
@@ -477,8 +493,9 @@ class SpecDescriptors:
             self.pit["position"] - self.main_peak["position"])
 
     def find_intensity_at_energy(self, energy, window=INTENSITY_WINDOW):
-        label, absolute, _ = intensity_at_energy(
-            self.view, energy, self.edge.get("position"))
+        label = round(energy, 1)
+        absolute = (label + self.edge.get("position", 0.0)
+                    if label < RELATIVE_ENERGY_MAX else label)
         if label < RELATIVE_ENERGY_MAX:
             self._energy_position = absolute
         self.other[f"intensity_{label:.1f}"] = self.view.window_mean(

@@ -172,6 +172,13 @@ def _build_torch_modules(m, params, batch_stats, cfg):
         )
 
     dis = None
+    if params.get("dis") and cfg.use_cnn_discriminator:
+        import warnings
+
+        warnings.warn(
+            "bundle uses the CNN discriminator, which the torch exporter "
+            "does not map; writing Encoder/Decoder only (the reference "
+            "report stage never reads the discriminator)", stacklevel=2)
     if params.get("dis") and not cfg.use_cnn_discriminator:
         dis = m.DiscriminatorFC(dropout_rate=cfg.dis_dropout_rate,
                                 nstyle=cfg.nstyle, noise=cfg.dis_noise,
