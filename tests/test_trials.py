@@ -96,7 +96,7 @@ def test_lr_sweep_resume_mismatch_refused(tiny_data, tmp_path):
     prog = json.load(open(f"{ck}/progress.json"))
     prog["epoch"] = 2
     json.dump(prog, open(f"{ck}/progress.json", "w"))
-    with pytest.raises(ValueError, match="lr_scales mismatch"):
+    with pytest.raises(ValueError, match="resume sweep mismatch"):
         run_trials(cfg, tiny_data, n_trials=4, seed=2, checkpoint_every=2,
                    checkpoint_dir=ck, lr_scales=np.ones(4, np.float32))
     # same scales resume fine
