@@ -149,6 +149,13 @@ def bench(form: str, trials: int, epochs: int, n_rows: int,
         "value": round(float(spectra_per_sec), 1),
         "unit": "spectra/s/chip",
         "vs_baseline": round(float(spectra_per_sec / baseline), 2),
+        # self-describing settings (the production defaults differ from the
+        # parity-exact f32/threefry/highest configuration)
+        "activation_dtype": cfg.activation_dtype,
+        "matmul_precision": cfg.matmul_precision,
+        "rng_impl": cfg.rng_impl,
+        "trials": trials,
+        "epochs": epochs,
     }
     if form == "FC":
         # the 2*params-per-pass estimate is exact only for dense layers;

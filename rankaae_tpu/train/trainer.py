@@ -186,6 +186,18 @@ class RankAAETrainer:
         optionally overrides entries of :data:`SWEEPABLE_HPARAMS` (same
         sweep mechanism for the noise/alpha knobs)."""
         cfg = self.cfg
+        if ((not isinstance(lr_scale, float) or lr_scale != 1.0)
+                and cfg.optimizer_name == "AdaBound"):
+            # AdaBound's bound target uses a static base_lr captured at
+            # optimizer construction; scaling only the runtime lr would make
+            # the trial correspond to no real AdaBound configuration.  The
+            # same guard lives in parallel.run_trials; duplicated here so
+            # direct init_state / facade callers are covered too.
+            raise NotImplementedError(
+                "lr_scale is not supported with AdaBound (its lr-bound "
+                "schedule depends on a static base_lr); use Adam/AdamW/"
+                "RAdam, or run separate AdaBound configs"
+            )
         k_enc, k_dec, k_dis, k_run = jax.random.split(rng, 4)
         rngs = lambda k: {"params": k, "dropout": jax.random.fold_in(k, 1),
                           "noise": jax.random.fold_in(k, 2)}

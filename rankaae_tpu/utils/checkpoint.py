@@ -81,13 +81,29 @@ def load_train_state(path: str, template):
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     treedef = jax.tree_util.tree_structure(template)
-    t_leaves = jax.tree_util.tree_leaves(template)
-    if len(payload) != len(t_leaves):
+    path_leaves = jax.tree_util.tree_flatten_with_path(template)[0]
+    t_leaves = [leaf for _, leaf in path_leaves]
+    is_hp = [any(getattr(k, "name", None) == "hparams" for k in kp)
+             for kp, _ in path_leaves]
+    if len(payload) == len(t_leaves) - sum(is_hp) and sum(is_hp):
+        # Legacy checkpoint predating TrainState.hparams (runtime noise/alpha
+        # knobs): its leaves are every non-hparams leaf in template order.
+        # Backfill hparams from the template, whose init_state already set
+        # them from the config.
+        leaves, j = [], 0
+        for hp, want in zip(is_hp, t_leaves):
+            if hp:
+                leaves.append(np.asarray(want))
+            else:
+                leaves.append(payload[str(j)])
+                j += 1
+    elif len(payload) != len(t_leaves):
         raise ValueError(
             f"checkpoint has {len(payload)} leaves, template has "
             f"{len(t_leaves)} — config mismatch?"
         )
-    leaves = [payload[str(i)] for i in range(len(t_leaves))]
+    else:
+        leaves = [payload[str(i)] for i in range(len(t_leaves))]
     for got, want in zip(leaves, t_leaves):
         if tuple(got.shape) != tuple(np.shape(want)):
             raise ValueError(

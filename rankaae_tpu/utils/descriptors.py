@@ -123,10 +123,16 @@ def _candidates(
     hi: Optional[float] = None,
     min_height: Optional[float] = 0.0,
     min_prominence: float = 0.0,
+    max_prominence: Optional[float] = None,
+    min_width: float = 0.0,
     max_width: Optional[float] = None,
 ) -> np.ndarray:
     """Indices (into the grid) of local maxima of the chosen signal inside
-    [lo, hi], sorted by position.  ``max_width`` is in grid units.
+    [lo, hi], sorted by position.  Both width bounds are in grid (energy)
+    units and are converted to find_peaks samples via ``view.step``, exactly
+    as the reference's ``_peaks`` does (``descriptors.py``: ``width[i] /
+    (grid[1]-grid[0])``); prominence bounds are raw intensity units,
+    forwarded as a (min, max) pair.
 
     ``min_height=0`` is the spec's default (reference ``find_peak_in_range``,
     ``descriptors.py:326``): on "-spec"/"-d2" signals it admits only
@@ -135,8 +141,10 @@ def _candidates(
     positive XANES spectra.
     """
     y = {"spec": view.spec, "-spec": -view.spec, "-d2": -view.d2}[signal]
-    width = (0, None if max_width is None else max_width / view.step)
-    idx, props = find_peaks(y, height=min_height, prominence=min_prominence,
+    width = (min_width / view.step,
+             None if max_width is None else max_width / view.step)
+    prominence = (min_prominence, max_prominence)
+    idx, props = find_peaks(y, height=min_height, prominence=prominence,
                             width=width)
     keep = np.ones(len(idx), bool)
     if lo is not None:
@@ -215,15 +223,20 @@ def edge_descriptor(view: SpectrumView):
 
 
 def main_peak_descriptor(view: SpectrumView, lo=None, hi=None,
-                         min_prominence: float = 0.0,
-                         max_width=None, intensity_window=None):
+                         min_prominence: float = 0.0, max_prominence=None,
+                         min_width: float = 0.0, max_width=None,
+                         intensity_window=None):
     """The white line: leftmost tall peak, unless a later one is taller by
     more than :data:`MAIN_PEAK_TALLER_BY`; curvature-valley fallback when no
     candidate clears :data:`MAIN_PEAK_MIN_HEIGHT`.  The optional candidate
     filters and intensity window mirror the reference's ``find_main_peak``
-    keywords (``descriptors.py:76``)."""
+    keywords (``descriptors.py:76``); both bounds of the width and
+    prominence pairs are honored, width in energy units (reference
+    ``_peaks`` converts eV -> samples the same way)."""
     idx = _candidates(view, lo=lo, hi=hi, min_height=MAIN_PEAK_MIN_HEIGHT,
-                      min_prominence=min_prominence, max_width=max_width)
+                      min_prominence=min_prominence,
+                      max_prominence=max_prominence,
+                      min_width=min_width, max_width=max_width)
     if len(idx):
         heights = view.spec[idx]
         ranked = np.sort(heights)
@@ -454,13 +467,18 @@ class SpecDescriptors:
     def find_main_peak(self, window=1, left=None, right=None,
                        width=(0, None), prominence=(0, None)):
         """Reference signature (``descriptors.py:76``): ``window`` is the
-        intensity-averaging width; ``width``/``prominence`` filter the
-        candidate peaks (their lower bounds map onto scipy find_peaks)."""
+        intensity-averaging width; ``width`` (energy units, converted to
+        samples like the reference's ``_peaks``) and ``prominence`` are
+        (min, max) candidate filters — both bounds forwarded."""
+        if not isinstance(width, (tuple, list)):
+            width = (width, None)
+        if not isinstance(prominence, (tuple, list)):
+            prominence = (prominence, None)
         self.main_peak = main_peak_descriptor(
             self.view, lo=left, hi=right,
-            min_prominence=(prominence[0] if isinstance(prominence, tuple)
-                            else prominence) or 0.0,
-            max_width=width[1] if isinstance(width, tuple) else None,
+            min_prominence=prominence[0] or 0.0,
+            max_prominence=prominence[1],
+            min_width=width[0] or 0.0, max_width=width[1],
             intensity_window=window)
 
     def find_main_pit(self, curvature_window=None):
