@@ -76,13 +76,17 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
 
         last_best = {}
 
-        def on_segment(e0, e1, seg_logs, states):
+        def on_segment(e0, e1, seg_logs, states, trial_offset=0):
             # incremental losses.csv: rows survive a crash and resume
-            # continues appending where the last segment stopped
+            # continues appending where the last segment stopped.
+            # seg_logs/states cover ONE wave; trial_offset maps wave lane i
+            # to global job number trial_offset + i + 1.
             best_epoch = np.asarray(states.best_epoch)
             best_combined = np.asarray(states.best_combined)
-            for i in range(cfg.trials):
-                job_dir = os.path.join(work_dir, "training", f"job_{i+1}")
+            n_wave = next(iter(seg_logs.values())).shape[0]
+            for i in range(n_wave):
+                g = trial_offset + i
+                job_dir = os.path.join(work_dir, "training", f"job_{g+1}")
                 os.makedirs(job_dir, exist_ok=True)
                 trial_logs = {k: v[i] for k, v in seg_logs.items()
                               if k != "metrics"}
@@ -94,8 +98,8 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
                 # at segment granularity: when this segment produced a new
                 # best, a new file accumulates alongside earlier ones
                 if np.isfinite(best_combined[i]) and \
-                        best_combined[i] < last_best.get(i, np.inf):
-                    last_best[i] = float(best_combined[i])
+                        best_combined[i] < last_best.get(g, np.inf):
+                    last_best[g] = float(best_combined[i])
                     take = lambda tree: jax.tree_util.tree_map(
                         lambda x: np.asarray(x[i]), tree)
                     save_model_bundle(

@@ -73,6 +73,43 @@ def trial_mesh(devices=None) -> Mesh:
     return Mesh(mesh_utils.create_device_mesh((len(devices),), devices=devices), ("trial",))
 
 
+def trial_dp_mesh(n_dp: int = 2, devices=None) -> Mesh:
+    """A 2-D ``trial x dp`` mesh: axis 'trial' shards resident trials (zero
+    inter-trial communication), axis 'dp' shards the DATASET's row axis
+    across ``n_dp`` devices — XLA inserts the all-gathers that materialize
+    each minibatch from its row shards.  Useful when few distinct trials
+    must each see a dataset too large to replicate per device; for the
+    reference-sized workload (~7 MB dataset) the 1-D :func:`trial_mesh` is
+    the faster default.  ``run_trials(mesh=trial_dp_mesh(...))`` is the
+    production entry point for this layout."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) % n_dp:
+        raise ValueError(f"{len(devices)} devices not divisible by n_dp={n_dp}")
+    return Mesh(
+        mesh_utils.create_device_mesh((len(devices) // n_dp, n_dp),
+                                      devices=devices),
+        ("trial", "dp"),
+    )
+
+
+def _trial_lanes(mesh: Mesh) -> int:
+    """Concurrent trial lanes on a mesh (its 'trial' axis, or every device
+    for a mesh without one)."""
+    return mesh.shape.get("trial", mesh.devices.size)
+
+
+def _data_sharding(mesh: Mesh, data: TrialData) -> NamedSharding:
+    """Row-shard the dataset over the mesh's 'dp' axis when present (and
+    every split divides evenly); replicate otherwise."""
+    if "dp" in mesh.axis_names:
+        n_dp = mesh.shape["dp"]
+        leaves = jax.tree_util.tree_leaves(data)
+        if all(leaf.shape[0] % n_dp == 0 for leaf in leaves):
+            return NamedSharding(mesh, P("dp"))
+    return NamedSharding(mesh, P())
+
+
 def run_trials(
     cfg: TrainConfig,
     data: TrialData,
@@ -106,11 +143,16 @@ def run_trials(
     config knobs (``trainer.SWEEPABLE_HPARAMS``: spec_noise, alpha_limit,
     alpha_flat_step), e.g. ``sweep={"spec_noise": np.linspace(0, 0.05, 8)}``.
     Composable with ``lr_scales``.
+
+    ``mesh`` may be 1-D (:func:`trial_mesh`, the default: data replicated)
+    or 2-D (:func:`trial_dp_mesh`): the 'trial' axis shards trials, the
+    'dp' axis row-shards the dataset and XLA inserts the gather
+    collectives — for datasets too large to replicate per device.
     """
     n_trials = cfg.trials if n_trials is None else n_trials
     if mesh is None:
         mesh = trial_mesh()
-    n_dev = mesh.devices.size
+    n_dev = _trial_lanes(mesh)
     if lr_scales is not None:
         lr_scales = np.asarray(lr_scales, np.float32)
         if lr_scales.shape != (n_trials,):
@@ -139,22 +181,31 @@ def run_trials(
 
     max_wave = max(1, int(max_resident_per_device * n_dev))
     if n_trials > max_wave:
-        if checkpoint_dir is not None:
-            raise NotImplementedError(
-                "mid-run checkpointing is supported for a single resident "
-                "wave; raise max_resident_per_device or lower trials"
-            )
+        import os
+
         waves = []
         done = 0
+        w = 0
         while done < n_trials:
             take = min(max_wave, n_trials - done)
+            # each wave checkpoints into its own subdirectory; on resume,
+            # completed waves reload their persisted state+logs instantly
+            # and the interrupted wave picks up at its last segment
+            wave_dir = None if checkpoint_dir is None else \
+                os.path.join(checkpoint_dir, f"wave_{w:03d}")
             waves.append(_run_wave(
                 cfg, data, take, seed + done, mesh,
+                checkpoint_every=checkpoint_every,
+                checkpoint_dir=wave_dir,
+                on_segment=on_segment,
+                trial_offset=done,
+                allow_completed=True,
                 lr_scales=None if lr_scales is None
                 else lr_scales[done:done + take],
                 sweep=None if sweep is None
                 else {k: v[done:done + take] for k, v in sweep.items()}))
             done += take
+            w += 1
         return _concat_results(waves)
     return _run_wave(cfg, data, n_trials, seed, mesh,
                      checkpoint_every=checkpoint_every,
@@ -190,24 +241,32 @@ def _run_wave(
     checkpoint_every: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
     on_segment=None,
+    trial_offset: int = 0,
+    allow_completed: bool = False,
     lr_scales=None,
     sweep=None,
 ) -> TrialResults:
     """One resident wave of trials; optionally segmented with mid-run
-    checkpoints (``checkpoint_every`` epochs) that ``resume_trials`` can
-    restart from — fault tolerance the reference lacks (SURVEY.md §5).
+    checkpoints (``checkpoint_every`` epochs) that a rerun can restart
+    from — fault tolerance the reference lacks (SURVEY.md §5).
 
-    ``on_segment(e0, e1, seg_logs, states)`` is invoked after each segment
-    with the host-side stacked logs for epochs [e0, e1) and the current
-    (device) train states — used by the CLI for incremental losses.csv rows
-    and per-improvement checkpoint files."""
+    ``on_segment(e0, e1, seg_logs, states, trial_offset=0)`` is invoked
+    after each segment with the host-side stacked logs for epochs [e0, e1)
+    and the current (device) train states — used by the CLI for incremental
+    losses.csv rows and per-improvement checkpoint files.  ``trial_offset``
+    is this wave's position on the global trial axis.
+
+    Alongside the resumable state, every checkpoint persists the cumulative
+    epoch logs (``logs.npz``), so a resumed run returns the FULL log history
+    and a fully-completed wave (``allow_completed``) reconstructs its
+    results without retraining."""
     import json
     import os
 
     from rankaae_tpu.utils.checkpoint import load_train_state, save_train_state
 
-    n_dev = mesh.devices.size
-    t_pad = -(-n_trials // n_dev) * n_dev   # pad to a multiple of the mesh
+    n_lanes = _trial_lanes(mesh)
+    t_pad = -(-n_trials // n_lanes) * n_lanes  # pad to a multiple of the lanes
 
     trainer = RankAAETrainer(
         cfg, n_train=data.train_spec.shape[0], n_val=data.val_spec.shape[0]
@@ -225,17 +284,19 @@ def _run_wave(
             hp[k] = full.at[:n_trials].set(jnp.asarray(v, jnp.float32))
 
     trial_sharding = NamedSharding(mesh, P("trial"))
-    replicated = NamedSharding(mesh, P())
+    data_sharding = _data_sharding(mesh, data)
 
     @jax.jit
     def init_all(keys, scales, hp):
         return jax.vmap(trainer.init_state)(keys, scales, hp)
 
     start_epoch = 0
+    log_parts = []
     states = init_all(keys, scales, hp)
     if checkpoint_dir:
         progress_fn = os.path.join(checkpoint_dir, "progress.json")
         state_fn = os.path.join(checkpoint_dir, "trial_state.mpk")
+        logs_fn = os.path.join(checkpoint_dir, "logs.npz")
         if os.path.exists(progress_fn) and os.path.exists(state_fn):
             with open(progress_fn) as f:
                 progress = json.load(f)
@@ -259,21 +320,23 @@ def _run_wave(
                     )
                 states = load_train_state(state_fn, states)
                 start_epoch = int(progress["epoch"])
+                if os.path.exists(logs_fn):
+                    with np.load(logs_fn) as z:
+                        log_parts.append({k: z[k] for k in z.files})
     states = jax.device_put(states, trial_sharding)
-    data = jax.device_put(data, replicated)
+    data = jax.device_put(data, data_sharding)
 
     run_seg = jax.jit(
         jax.vmap(trainer.run_epochs, in_axes=(0, None, None)),
         donate_argnums=(0,),
     )
 
-    if start_epoch >= cfg.max_epoch:
+    if start_epoch >= cfg.max_epoch and not (allow_completed and log_parts):
         raise ValueError(
             f"checkpoint in {checkpoint_dir} is already complete "
             f"(epoch {start_epoch} >= max_epoch {cfg.max_epoch})"
         )
     seg = checkpoint_every or (cfg.max_epoch - start_epoch)
-    log_parts = []
     e0 = start_epoch
     while e0 < cfg.max_epoch:
         e1 = min(e0 + seg, cfg.max_epoch)
@@ -282,10 +345,16 @@ def _run_wave(
         log_parts.append(seg_host)
         if on_segment is not None:
             on_segment(e0, e1, jax.tree_util.tree_map(
-                lambda x: x[:n_trials], seg_host), states)
+                lambda x: x[:n_trials], seg_host), states, trial_offset)
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
             save_train_state(os.path.join(checkpoint_dir, "trial_state.mpk"), states)
+            # cumulative logs so a resumed/completed rerun returns the full
+            # history (and final_metrics stay correct across restarts)
+            cum = log_parts[0] if len(log_parts) == 1 else \
+                jax.tree_util.tree_map(
+                    lambda *xs: np.concatenate(xs, axis=1), *log_parts)
+            np.savez(os.path.join(checkpoint_dir, "logs.npz"), **cum)
             with open(os.path.join(checkpoint_dir, "progress.json"), "w") as f:
                 json.dump({"epoch": e1, "n_trials": n_trials, "seed": seed,
                            "lr_scales": None if lr_scales is None

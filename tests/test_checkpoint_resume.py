@@ -56,12 +56,14 @@ def test_resume_from_partial_checkpoint(small_data, tmp_path):
     run_trials(cfg_short, small_data, n_trials=2, seed=5,
                checkpoint_every=2, checkpoint_dir=ckdir)
 
-    # resume the real config from the same checkpoint dir: picks up at 4
+    # resume the real config from the same checkpoint dir: picks up at 4,
+    # and the persisted logs.npz restores the pre-crash history, so the
+    # resumed results carry the FULL 6-epoch log
     resumed = run_trials(cfg, small_data, n_trials=2, seed=5,
                          checkpoint_every=2, checkpoint_dir=ckdir)
-    assert resumed.logs["val_recon"].shape == (2, 2)  # epochs 4, 5 only
+    assert resumed.logs["val_recon"].shape == (2, 6)
     np.testing.assert_allclose(
-        resumed.logs["val_recon"], full.logs["val_recon"][:, 4:], rtol=1e-4
+        resumed.logs["val_recon"], full.logs["val_recon"], rtol=1e-4
     )
     # final params identical to the continuous run
     import jax
@@ -91,6 +93,89 @@ def test_mismatched_checkpoint_ignored(small_data, tmp_path):
     res = run_trials(cfg, small_data, n_trials=2, seed=6,
                      checkpoint_every=1, checkpoint_dir=ckdir)
     assert res.logs["val_recon"].shape == (2, 3)
+
+
+def test_wave_resume(small_data, tmp_path):
+    """Checkpointing composes with sequential waves: trials beyond one
+    resident wave checkpoint into per-wave subdirectories, completed waves
+    reload without retraining, and the interrupted wave resumes mid-run."""
+    import jax
+
+    from rankaae_tpu.parallel.trials import trial_mesh
+
+    ckdir = str(tmp_path / "ckw")
+    cfg = _tiny_cfg(max_epoch=4, alpha_flat_step=1e-9)
+    # 3 trials at 1 resident trial/device on a 1-device mesh -> 3 waves
+    mesh = trial_mesh(jax.devices()[:1])
+    kw = dict(n_trials=3, seed=5, mesh=mesh, max_resident_per_device=1)
+
+    full = run_trials(cfg, small_data, **kw)
+
+    # "crashed" run: every wave stops at epoch 2 of 4 (simulated by
+    # truncating max_epoch, as in the single-wave test)
+    cfg_short = _tiny_cfg(max_epoch=2, alpha_flat_step=1e-9)
+    run_trials(cfg_short, small_data, checkpoint_every=2,
+               checkpoint_dir=ckdir, **kw)
+    assert os.path.isdir(os.path.join(ckdir, "wave_002"))
+
+    # resume: each wave picks up at its epoch-2 snapshot
+    resumed = run_trials(cfg, small_data, checkpoint_every=2,
+                         checkpoint_dir=ckdir, **kw)
+    assert resumed.logs["val_recon"].shape == (3, 4)
+    np.testing.assert_allclose(
+        resumed.logs["val_recon"], full.logs["val_recon"], rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(full.final_params),
+                    jax.tree_util.tree_leaves(resumed.final_params)):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # rerun on the fully-completed directory: every wave reconstructs its
+    # results from the persisted state + logs without retraining
+    again = run_trials(cfg, small_data, checkpoint_every=2,
+                       checkpoint_dir=ckdir, **kw)
+    np.testing.assert_allclose(
+        again.logs["val_recon"], full.logs["val_recon"], rtol=1e-4)
+    np.testing.assert_array_equal(again.best_epoch, resumed.best_epoch)
+    for a, b in zip(jax.tree_util.tree_leaves(resumed.final_params),
+                    jax.tree_util.tree_leaves(again.final_params)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_legacy_checkpoint_without_hparams_backfills(small_data, tmp_path):
+    """trial_state.mpk files written before TrainState.hparams existed must
+    still load: the missing hparams leaves are backfilled from the template
+    (which init_state populated from the config)."""
+    import jax
+    from flax import serialization
+
+    from rankaae_tpu.train.trainer import RankAAETrainer
+    from rankaae_tpu.utils.checkpoint import load_train_state
+
+    cfg = _tiny_cfg(max_epoch=2)
+    trainer = RankAAETrainer(cfg, 192, 64)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    # Write a legacy-format checkpoint: every leaf in template order EXCEPT
+    # the hparams subtree, under the same sequential-index msgpack schema.
+    path_leaves = jax.tree_util.tree_flatten_with_path(state)[0]
+    legacy = [np.asarray(leaf) for kp, leaf in path_leaves
+              if not any(getattr(k, "name", None) == "hparams" for k in kp)]
+    assert len(legacy) < len(path_leaves)  # hparams leaves really dropped
+    ck = tmp_path / "legacy_state.mpk"
+    with open(ck, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            {str(i): leaf for i, leaf in enumerate(legacy)}))
+
+    template = trainer.init_state(jax.random.PRNGKey(1))
+    restored = load_train_state(str(ck), template)
+    # hparams backfilled from the template's config-derived values
+    for k, v in template.hparams.items():
+        np.testing.assert_allclose(np.asarray(restored.hparams[k]),
+                                   np.asarray(v))
+    # everything else came from the checkpoint (PRNGKey(0) state), not the
+    # PRNGKey(1) template
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_incremental_losses_csv(small_data, tmp_path):

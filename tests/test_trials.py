@@ -214,6 +214,51 @@ def test_vmapped_matches_single_deterministic_trajectory(tiny_data):
         )
 
 
+def test_trial_dp_mesh_run(tiny_data):
+    """First-class 2-D ``trial x dp`` mesh (SURVEY §2.8 DP row): dataset
+    rows sharded over 'dp', trajectories match a 1-D mesh with the same
+    lane count, and the compiled program contains real collectives."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rankaae_tpu.parallel.trials import (
+        _data_sharding,
+        trial_dp_mesh,
+        trial_mesh,
+    )
+
+    cfg = _tiny_cfg(max_epoch=3)
+    mesh2 = trial_dp_mesh(n_dp=2)
+    assert dict(mesh2.shape) == {"trial": 4, "dp": 2}
+    # 192/64 rows divide by dp=2 -> rows really are sharded
+    assert _data_sharding(mesh2, tiny_data).spec == P("dp")
+
+    # same lane count on both meshes so the RNG lanes coincide exactly
+    base = run_trials(cfg, tiny_data, n_trials=4, seed=3,
+                      mesh=trial_mesh(jax.devices()[:4]))
+    dp = run_trials(cfg, tiny_data, n_trials=4, seed=3, mesh=mesh2)
+    np.testing.assert_allclose(dp.logs["val_recon"],
+                               base.logs["val_recon"], rtol=1e-3, atol=1e-5)
+
+    # the dp-sharded program really communicates: collectives in the HLO
+    trainer = RankAAETrainer(cfg, n_train=192, n_val=64)
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    states = jax.jit(jax.vmap(trainer.init_state))(keys)
+    states = jax.device_put(states, NamedSharding(mesh2, P("trial")))
+    sdata = jax.device_put(tiny_data, _data_sharding(mesh2, tiny_data))
+    run = jax.jit(jax.vmap(trainer.run_epochs, in_axes=(0, None, None)))
+    hlo = run.lower(states, sdata, jnp.arange(0, 3)).compile().as_text()
+    assert any(c in hlo for c in
+               ("all-gather", "all-reduce", "collective-permute", "all-to-all"))
+
+    # non-divisible rows fall back to replication (no crash, no shard)
+    ragged = TrialData(
+        train_spec=tiny_data.train_spec[:191],
+        train_aux=tiny_data.train_aux[:191],
+        val_spec=tiny_data.val_spec, val_aux=tiny_data.val_aux,
+    )
+    assert _data_sharding(mesh2, ragged).spec == P()
+
+
 def test_trial_accessor(tiny_data):
     cfg = _tiny_cfg(max_epoch=2)
     res = run_trials(cfg, tiny_data, n_trials=3, seed=0)
