@@ -35,8 +35,10 @@ import jax.numpy as jnp
 def _pair_stats(descriptors, styles):
     """Per-descriptor sums over concordant/discordant pairs.
 
-    Returns (sum_pos, sum_neg, cnt_pos, cnt_neg), each (K,), where
-    pos/neg refer to the sign of product = pred * target.
+    Returns (sum_pos, sum_neg, sum_tie, cnt_pos, cnt_neg), each (K,), where
+    pos/neg refer to the sign of product = pred * target.  sum_tie is
+    identically 0 in value but carries the gradient of the exactly-tied
+    pairs (see :func:`kendall_constraint`).
     """
     target = jnp.sign(descriptors[:, None, :] - descriptors[None, :, :])
     pred = styles[:, None, :] - styles[None, :, :]
@@ -45,9 +47,10 @@ def _pair_stats(descriptors, styles):
     neg = product < 0
     sum_pos = jnp.sum(jnp.where(pos, product, 0.0), axis=(0, 1))
     sum_neg = jnp.sum(jnp.where(neg, product, 0.0), axis=(0, 1))
+    sum_tie = jnp.sum(jnp.where(product == 0, product, 0.0), axis=(0, 1))
     cnt_pos = jnp.sum(pos, axis=(0, 1))
     cnt_neg = jnp.sum(neg, axis=(0, 1))
-    return sum_pos, sum_neg, cnt_pos, cnt_neg
+    return sum_pos, sum_neg, sum_tie, cnt_pos, cnt_neg
 
 
 def activation_weights(cnt_pos, cnt_neg):
@@ -81,7 +84,12 @@ def kendall_constraint(descriptors, styles, activate: bool = False):
         )
         total = 2.0 * jnp.sum(styles * jax.lax.stop_gradient(c))
         return -total / norm
-    sum_pos, sum_neg, cnt_pos, cnt_neg = _pair_stats(descriptors, styles)
+    sum_pos, sum_neg, sum_tie, cnt_pos, cnt_neg = _pair_stats(descriptors, styles)
     w = jax.lax.stop_gradient(activation_weights(cnt_pos, cnt_neg))
-    total = jnp.sum(w * sum_pos + sum_neg)
+    # exactly-tied pairs (product == 0, i.e. equal styles or equal
+    # descriptors) add 0 to the loss but DO carry gradient t in the
+    # reference: its in-place masked scale touches only product>0 entries
+    # (functions.py:69-76), so torch autograd sees the raw p*t term for
+    # ties — sum_tie keeps that gradient path alive here
+    total = jnp.sum(w * sum_pos + sum_neg + sum_tie)
     return -total / norm

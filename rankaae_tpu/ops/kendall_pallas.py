@@ -112,6 +112,9 @@ def _bwd_kernel(n_ref, d_bk_ref, dt_ref, s_bk_ref, st_ref, w_ref, grad_ref):
 
     target = jnp.sign(d_all - d_blk)                      # (B_pad, TB)
     pred = s_all - s_blk
+    # exactly-tied pairs (pred*target == 0) keep weight 1: the reference
+    # scales only the product>0 entries in place (functions.py:69-76), so
+    # torch autograd propagates the unscaled t through ties
     concordant = (pred * target) > 0
     weighted_t = jnp.where(concordant, w_k * target, target)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (b_pad, 1), 0)

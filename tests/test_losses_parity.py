@@ -59,6 +59,11 @@ def test_kendall_matches_reference_math(rng, activate):
     # make one descriptor discrete to exercise sign ties (CN is {4,5,6})
     descriptors[:, 1] = rng.choice([4.0, 5.0, 6.0], b)
     styles = rng.normal(size=(b, k)).astype(np.float32)
+    # exact style ties (pred == 0, target != 0): torch's in-place masked
+    # scale leaves those product entries untouched, so their gradient is
+    # the raw t — the masked-sum form must keep that path (ops/kendall.py
+    # sum_tie)
+    styles[3] = styles[4]
 
     ref_loss, ref_grad = _torch_kendall(descriptors, styles, activate)
     f = lambda s: kendall_constraint(jnp.asarray(descriptors), s, activate=activate)
