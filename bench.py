@@ -146,7 +146,7 @@ def _analytic_flops_per_sample(params, n_trials, grl: bool, smooth: bool):
 
 def bench(form: str, trials: int, epochs: int, n_rows: int,
           precision: str = None, rng_impl: str = "rbg",
-          act_dtype: str = "float32"):
+          act_dtype: str = "float32", remat: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -168,7 +168,8 @@ def bench(form: str, trials: int, epochs: int, n_rows: int,
         cfg = cfg.replace(ae_form=form, matmul_precision="default")
     if precision is not None:
         cfg = cfg.replace(matmul_precision=precision)
-    cfg = cfg.replace(rng_impl=rng_impl, activation_dtype=act_dtype)
+    cfg = cfg.replace(rng_impl=rng_impl, activation_dtype=act_dtype,
+                      remat=remat)
 
     aux, spec, _ = make_synthetic_xanes(n_rows=n_rows, dim=cfg.dim_in, seed=0)
     n_train = int(n_rows * 0.7)
@@ -292,11 +293,16 @@ def main():
     # reproduces the f32-activation numbers.
     ap.add_argument("--act", default="bfloat16",
                     choices=["float32", "bfloat16"])
+    # jax.checkpoint on the conv blocks (config `remat`): recompute
+    # activations in the backward for peak-memory headroom — the lever for
+    # high resident-trial counts on the deep "normal" form
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
     trials = args.trials if args.trials is not None else (
         32 if args.form == "FC" else 8)
     bench(args.form, trials, args.epochs, args.rows,
-          precision=args.precision, rng_impl=args.rng, act_dtype=args.act)
+          precision=args.precision, rng_impl=args.rng, act_dtype=args.act,
+          remat=args.remat)
 
 
 if __name__ == "__main__":

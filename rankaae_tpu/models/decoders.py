@@ -38,6 +38,8 @@ class FCDecoder(nn.Module):
     n_layers: int = 3
     hidden_size: int = 64
 
+    remat: bool = False
+
     @nn.compact
     def __call__(self, z, train: bool = True):
         act = _last_act(self.last_layer_activation)
@@ -63,6 +65,8 @@ class Decoder(nn.Module):
     last_layer_activation: str = "ReLu"
     n_layers: int = 3
 
+    remat: bool = False
+
     @nn.compact
     def __call__(self, z, train: bool = True):
         act = _last_act(self.last_layer_activation)
@@ -73,8 +77,12 @@ class Decoder(nn.Module):
             dict(in_channels=4, out_channels=4, in_len=16, excitation=2),
             dict(in_channels=4, out_channels=4, in_len=64, excitation=4),
         ]
+        dblock_cls = nn.remat(DecodingBlock, static_argnums=(2,)) \
+            if self.remat else DecodingBlock
+        eblock_cls = nn.remat(EncodingBlock, static_argnums=(2,)) \
+            if self.remat else EncodingBlock
         for i, s in enumerate(dec):
-            x = DecodingBlock(dropout_rate=self.dropout_rate, name=f"dblock{i}", **s)(x, train)
+            x = dblock_cls(dropout_rate=self.dropout_rate, name=f"dblock{i}", **s)(x, train)
         enc = [
             dict(in_channels=4, out_channels=4, excitation=2),
             dict(in_channels=4, out_channels=4, excitation=2),
@@ -83,7 +91,7 @@ class Decoder(nn.Module):
             dict(in_channels=2, out_channels=2, excitation=2),
         ]
         for i, s in enumerate(enc):
-            x = EncodingBlock(
+            x = eblock_cls(
                 in_len=256, out_len=256, kernel_size=11, stride=1,
                 dropout_rate=self.dropout_rate, name=f"eblock{i}", **s,
             )(x, train)
@@ -101,18 +109,24 @@ class CompactDecoder(nn.Module):
     last_layer_activation: str = "ReLu"
     n_layers: int = 3
 
+    remat: bool = False
+
     @nn.compact
     def __call__(self, z, train: bool = True):
         act = _last_act(self.last_layer_activation)
         x = z[:, :, None]
-        x = DecodingBlock(self.nstyle, 8, in_len=1, excitation=1, out_len=8,
-                          dropout_rate=self.dropout_rate, name="dblock0")(x, train)
-        x = DecodingBlock(8, 4, in_len=8, excitation=2, out_len=64,
-                          dropout_rate=self.dropout_rate, name="dblock1")(x, train)
-        x = DecodingBlock(4, 4, in_len=64, excitation=4,
-                          dropout_rate=self.dropout_rate, name="dblock2")(x, train)
-        x = EncodingBlock(4, 4, in_len=256, out_len=self.dim_out, kernel_size=11, stride=1,
-                          excitation=2, dropout_rate=self.dropout_rate, name="eblock0")(x, train)
+        dblock_cls = nn.remat(DecodingBlock, static_argnums=(2,)) \
+            if self.remat else DecodingBlock
+        eblock_cls = nn.remat(EncodingBlock, static_argnums=(2,)) \
+            if self.remat else EncodingBlock
+        x = dblock_cls(self.nstyle, 8, in_len=1, excitation=1, out_len=8,
+                       dropout_rate=self.dropout_rate, name="dblock0")(x, train)
+        x = dblock_cls(8, 4, in_len=8, excitation=2, out_len=64,
+                       dropout_rate=self.dropout_rate, name="dblock1")(x, train)
+        x = dblock_cls(4, 4, in_len=64, excitation=4,
+                       dropout_rate=self.dropout_rate, name="dblock2")(x, train)
+        x = eblock_cls(4, 4, in_len=256, out_len=self.dim_out, kernel_size=11, stride=1,
+                       excitation=2, dropout_rate=self.dropout_rate, name="eblock0")(x, train)
         x = BatchNorm(4, channel_axis=1, name="bn_out")(x, train)
         x = Conv1d(4, 1, 1, name="conv_out")(x)
         return act(x[:, 0, :])
@@ -127,6 +141,8 @@ class QvecDecoder(nn.Module):
     dim_out: int = 12
     last_layer_activation: str = "ReLu"
     n_layers: int = 3
+
+    remat: bool = False
 
     @nn.compact
     def __call__(self, z, train: bool = True):

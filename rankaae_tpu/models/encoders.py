@@ -27,6 +27,8 @@ class FCEncoder(nn.Module):
     n_layers: int = 3
     hidden_size: int = 64
 
+    remat: bool = False
+
     @nn.compact
     def __call__(self, spec, train: bool = True):
         h = self.hidden_size
@@ -49,6 +51,8 @@ class Encoder(nn.Module):
     dim_in: int = 256
     n_layers: int = 3   # placeholder for registry signature parity
 
+    remat: bool = False
+
     @nn.compact
     def __call__(self, spec, train: bool = True):
         x = spec[:, None, :]   # (B, 1, L)
@@ -59,8 +63,10 @@ class Encoder(nn.Module):
             dict(in_channels=4, out_channels=4, in_len=32, out_len=16, kernel_size=7, excitation=2),
             dict(in_channels=4, out_channels=4, in_len=16, out_len=8, kernel_size=5, excitation=1),
         ]
+        block_cls = nn.remat(EncodingBlock, static_argnums=(2,)) \
+            if self.remat else EncodingBlock
         for i, s in enumerate(specs):
-            x = EncodingBlock(stride=2, dropout_rate=self.dropout_rate, name=f"block{i}", **s)(x, train)
+            x = block_cls(stride=2, dropout_rate=self.dropout_rate, name=f"block{i}", **s)(x, train)
         x = x.reshape(x.shape[0], 32)
         x = Linear(self.nstyle, name="lin3")(x)
         return BatchNorm(self.nstyle, name="bn_style")(x, train)
@@ -74,6 +80,8 @@ class CompactEncoder(nn.Module):
     dim_in: int = 256
     n_layers: int = 3
 
+    remat: bool = False
+
     @nn.compact
     def __call__(self, spec, train: bool = True):
         x = spec[:, None, :]
@@ -82,8 +90,10 @@ class CompactEncoder(nn.Module):
             dict(in_channels=4, out_channels=4, in_len=64, out_len=16, kernel_size=7, excitation=2),
             dict(in_channels=4, out_channels=4, in_len=16, out_len=8, kernel_size=5, excitation=1),
         ]
+        block_cls = nn.remat(EncodingBlock, static_argnums=(2,)) \
+            if self.remat else EncodingBlock
         for i, s in enumerate(specs):
-            x = EncodingBlock(stride=2, dropout_rate=self.dropout_rate, name=f"block{i}", **s)(x, train)
+            x = block_cls(stride=2, dropout_rate=self.dropout_rate, name=f"block{i}", **s)(x, train)
         x = x.reshape(x.shape[0], 32)
         x = Linear(self.nstyle, name="lin3")(x)
         return BatchNorm(self.nstyle, name="bn_style")(x, train)
@@ -97,6 +107,8 @@ class QvecEncoder(nn.Module):
     dropout_rate: float = 0.2
     dim_in: int = 12
     n_layers: int = 3
+
+    remat: bool = False
 
     @nn.compact
     def __call__(self, q_vec, train: bool = True):

@@ -19,11 +19,13 @@ def build_autoencoder(cfg):
     (mirrors ``Trainer.from_data``, reference ``trainer.py:442-454``)."""
     enc_cls = AE_FORMS[cfg.ae_form]["encoder"]
     dec_cls = AE_FORMS[cfg.ae_form]["decoder"]
+    remat = getattr(cfg, "remat", False)
     encoder = enc_cls(
         nstyle=cfg.nstyle,
         dropout_rate=cfg.dropout_rate,
         dim_in=cfg.dim_in,
         n_layers=cfg.n_layers,
+        remat=remat,
     )
     decoder = dec_cls(
         nstyle=cfg.nstyle,
@@ -31,6 +33,7 @@ def build_autoencoder(cfg):
         last_layer_activation=cfg.decoder_activation,
         dim_out=cfg.dim_out,
         n_layers=cfg.n_layers,
+        remat=remat,
     )
     return encoder, decoder
 

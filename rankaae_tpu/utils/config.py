@@ -140,6 +140,13 @@ class TrainConfig:
     # statistics, losses, and metric reductions stay float32.
     activation_dtype: str = "float32"
 
+    # Rematerialize conv-block activations in the backward pass (net-new,
+    # ``jax.checkpoint`` via ``nn.remat`` on the conv autoencoder blocks).
+    # Trades a second forward pass for peak-memory headroom — the lever for
+    # raising resident-trial counts on the deep "normal" form.  No effect
+    # on FC/qved forms (their activations are already tiny).
+    remat: bool = False
+
     # split ratios (reference hardcodes these in Trainer.from_data signature,
     # ``trainer.py:415``)
     train_ratio: float = 0.7

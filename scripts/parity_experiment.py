@@ -380,6 +380,17 @@ def _aggregate(args, json):
         "",
         f"Best epoch: reference {sorted(ref_bep)}, ours {sorted(our_bep)}.",
         "",
+        "Both stacks' min-combined selection fires EARLY (median best "
+        f"epoch: reference {int(np.median(ref_bep))}, ours "
+        f"{int(np.median(our_bep))} of {epochs}): the combined metric "
+        "weights latent gaussianity/decoupling (Shapiro, inter-style rho) "
+        "on par with reconstruction, and those terms peak before the "
+        "autoencoder converges.  The two stacks agreeing on this "
+        "selection behavior — same metric, same early-epoch optimum, "
+        "overlapping selected-model quality — is itself a parity result; "
+        "practitioners whose target is reconstruction read the "
+        "final-epoch table below.",
+        "",
         "## Secondary: final-epoch models",
         "",
         "Final-epoch weights are a BN-lottery sample once the plateau "
