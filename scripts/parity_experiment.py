@@ -394,8 +394,8 @@ def _aggregate(args, json):
         "## Secondary: final-epoch models",
         "",
         "Final-epoch weights are a BN-lottery sample once the plateau "
-        "cascade freezes all learning rates (~epoch 700; see the "
-        "instrumented analysis in NOTES_r02.md) — reported for completeness.",
+        "cascade freezes all learning rates (~epoch 700; mechanism below) "
+        "— reported for completeness.",
         "",
         *_stats_table(ref_final, our_final),
         "",
@@ -403,6 +403,31 @@ def _aggregate(args, json):
         f"total ({np.mean([r['wall'] for r in refs]):.0f}s/run, torch CPU); "
         f"ours {ours['wall']:.1f}s for all {len(ours['seeds'])} seeds "
         "together on one TPU chip (incl. compile).",
+        "",
+        "## Mechanism: the final epoch is a lottery, not a quality gap",
+        "",
+        "Instrumented runs (per-epoch lr + metrics captured from BOTH "
+        "frameworks on this exact config/data, round 2) show identical "
+        "long-horizon dynamics on the two stacks:",
+        "",
+        "- **Both** frameworks' ReduceLROnPlateau cascades collapse the "
+        "learning rates to the 1e-8 floor by ~epoch 700: once the combined "
+        "metric saturates (~epoch 100-200), no 1%-relative improvement ever "
+        "resets the patience counter, so all 7 optimizers are cut x0.1 "
+        "every `patience+1 = 101` epochs (ours: first cut at epochs "
+        "104-311 across seeds; torch: first cut at epoch 223 in the "
+        "instrumented run).",
+        "- After the freeze, parameters are static and the validation "
+        "metrics fluctuate through BatchNorm *running statistics*, which "
+        "keep tracking the noisy training batches (spec_noise, the "
+        "N(0,1)-sampled mutual-information forwards).  Measured "
+        "post-epoch-900 final-epoch val-recon fluctuation: ours "
+        "0.0016-0.0134 (std 0.0019 per seed); torch 0.0099-0.0306 (std "
+        "0.0039) in the instrumented run.",
+        "- The final-epoch rows above therefore sample that lottery on "
+        "both sides; the pre-freeze apples-to-apples comparison is the "
+        "300-epoch n=8-vs-n=8 table in PARITY_RESULTS.md (median "
+        "recon-MSE ratio 0.84x, ours better).",
     ]
     out = os.path.join(REPO, args.out)
     with open(out, "w") as f:
