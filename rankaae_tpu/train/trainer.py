@@ -186,13 +186,16 @@ class RankAAETrainer:
         optionally overrides entries of :data:`SWEEPABLE_HPARAMS` (same
         sweep mechanism for the noise/alpha knobs)."""
         cfg = self.cfg
-        if ((not isinstance(lr_scale, float) or lr_scale != 1.0)
+        if (isinstance(lr_scale, (int, float)) and float(lr_scale) != 1.0
                 and cfg.optimizer_name == "AdaBound"):
             # AdaBound's bound target uses a static base_lr captured at
             # optimizer construction; scaling only the runtime lr would make
             # the trial correspond to no real AdaBound configuration.  The
-            # same guard lives in parallel.run_trials; duplicated here so
-            # direct init_state / facade callers are covered too.
+            # same guard lives in parallel.run_trials (which checks the
+            # CONCRETE lr_scales before tracing); here we must only reject
+            # concrete non-unit scalars — under jit(vmap) lr_scale is a
+            # traced array of ones when no sweep was requested, and raising
+            # on "not a float" would break plain AdaBound training.
             raise NotImplementedError(
                 "lr_scale is not supported with AdaBound (its lr-bound "
                 "schedule depends on a static base_lr); use Adam/AdamW/"

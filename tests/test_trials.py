@@ -57,6 +57,15 @@ def test_lr_sweep_over_trial_axis(tiny_data):
                    n_trials=4, lr_scales=np.ones(4))
 
 
+def test_adabound_plain_run_trials(tiny_data):
+    """Regression (ADVICE r03 high): plain AdaBound with lr_scales=None must
+    train — the init_state guard sees a TRACED all-ones scales array under
+    jit(vmap) and must not mistake it for a sweep."""
+    res = run_trials(_tiny_cfg(max_epoch=2, optimizer_name="AdaBound"),
+                     tiny_data, n_trials=2, seed=3)
+    assert np.all(np.isfinite(res.logs["val_recon"]))
+
+
 def test_hparam_sweep_over_trial_axis(tiny_data):
     """Net-new: spec_noise/alpha_limit sweep across the vmapped axis — one
     compiled program, four different configurations."""
