@@ -146,7 +146,8 @@ def _analytic_flops_per_sample(params, n_trials, grl: bool, smooth: bool):
 
 def bench(form: str, trials: int, epochs: int, n_rows: int,
           precision: str = None, rng_impl: str = "rbg",
-          act_dtype: str = "float32", remat: bool = False):
+          act_dtype: str = "float32", remat: bool = False,
+          scan_unroll: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -169,7 +170,17 @@ def bench(form: str, trials: int, epochs: int, n_rows: int,
     if precision is not None:
         cfg = cfg.replace(matmul_precision=precision)
     cfg = cfg.replace(rng_impl=rng_impl, activation_dtype=act_dtype,
-                      remat=remat)
+                      remat=remat, scan_unroll=scan_unroll)
+    if (remat and form != "FC" and jax.devices()[0].platform == "tpu"
+            and trials > len(jax.devices()) * 8):
+        # bench vmaps all trials resident (no waves, unlike run_trials,
+        # which auto-caps at 8 residents/device); remat + 32 residents
+        # crashes the TPU worker after a ~27-min compile (README)
+        raise SystemExit(
+            f"--remat with {trials} resident trials on TPU is outside the "
+            "validated region (crashes the worker at 32); bench at "
+            "--trials 8 or drop --remat"
+        )
 
     aux, spec, _ = make_synthetic_xanes(n_rows=n_rows, dim=cfg.dim_in, seed=0)
     n_train = int(n_rows * 0.7)
@@ -297,12 +308,15 @@ def main():
     # activations in the backward for peak-memory headroom — the lever for
     # high resident-trial counts on the deep "normal" form
     ap.add_argument("--remat", action="store_true")
+    # lax.scan unroll over the per-epoch batch loop (numerics-neutral;
+    # lets XLA overlap independent chains across batch steps)
+    ap.add_argument("--unroll", type=int, default=1)
     args = ap.parse_args()
     trials = args.trials if args.trials is not None else (
         32 if args.form == "FC" else 8)
     bench(args.form, trials, args.epochs, args.rows,
           precision=args.precision, rng_impl=args.rng, act_dtype=args.act,
-          remat=args.remat)
+          remat=args.remat, scan_unroll=args.unroll)
 
 
 if __name__ == "__main__":

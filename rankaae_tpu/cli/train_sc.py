@@ -156,6 +156,19 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
             os.path.join(job_dir, "best_tracked.mpk"),
             tr["best_params"], tr["best_batch_stats"], cfg, extra=best_extra,
         )
+        # net-new: best-RECONSTRUCTION model (min val recon MSE) — the
+        # `use_best_checkpoint` deployment target; min-combined fires in the
+        # first ~100 epochs and selects far worse reconstructors
+        # (PARITY_RESULTS_1500.md)
+        recon_extra = {"best_recon_epoch": tr["best_recon_epoch"],
+                       "best_recon_mse": tr["best_recon"]}
+        if lr_scales is not None:
+            recon_extra["lr_scale"] = float(lr_scales[i])
+        save_model_bundle(
+            os.path.join(job_dir, "best_recon.mpk"),
+            tr["best_recon_params"], tr["best_recon_batch_stats"], cfg,
+            extra=recon_extra,
+        )
         # reference checkpoint-directory layout (trainer.py:77,300):
         # checkpoints/epoch_<e>_loss_<combined>.<ext>
         chkpt = os.path.join(

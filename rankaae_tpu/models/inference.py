@@ -49,6 +49,11 @@ def _appliers(cfg: TrainConfig):
         "enc": _eval_f32(lambda v, x: encoder.apply(v, x, train=False)),
         "dec": _eval_f32(lambda v, z: decoder.apply(v, z, train=False)),
         "dis": _eval_f32(lambda v, z: discriminator.apply(v, z, None, train=False)),
+        # fused encode->decode: one device dispatch per reconstruction batch
+        # (the serving pipeline's hot path — halves per-batch dispatches vs
+        # chaining the two jitted calls)
+        "recon": _eval_f32(lambda vs, x: decoder.apply(
+            vs[1], encoder.apply(vs[0], x, train=False), train=False)),
     }
 
 
@@ -81,6 +86,9 @@ class InferenceModel:
 
     def _decode(self, z):
         return self._fns["dec"](self._vars("dec"), z)
+
+    def _reconstruct(self, x):
+        return self._fns["recon"]((self._vars("enc"), self._vars("dec")), x)
 
     def encode(self, spec) -> np.ndarray:
         return np.asarray(self._encode(jnp.asarray(spec, jnp.float32)))

@@ -50,6 +50,11 @@ class TrialResults:
     best_combined: np.ndarray           # (T,)
     logs: Dict[str, np.ndarray]         # (T, E, ...)
     final_metrics: np.ndarray           # (T, 5) reference-format metric list
+    # min-val-recon tracked model (the `use_best_checkpoint` target)
+    best_recon_params: Dict[str, Any]
+    best_recon_batch_stats: Dict[str, Any]
+    best_recon_epoch: np.ndarray        # (T,)
+    best_recon: np.ndarray              # (T,)
 
     def trial(self, i: int):
         """Per-trial view (params, batch_stats, best_params, best_stats, logs)."""
@@ -61,6 +66,10 @@ class TrialResults:
             "best_batch_stats": take(self.best_batch_stats),
             "best_epoch": int(self.best_epoch[i]),
             "best_combined": float(self.best_combined[i]),
+            "best_recon_params": take(self.best_recon_params),
+            "best_recon_batch_stats": take(self.best_recon_batch_stats),
+            "best_recon_epoch": int(self.best_recon_epoch[i]),
+            "best_recon": float(self.best_recon[i]),
             "logs": {k: v[i] for k, v in self.logs.items()},
             "final_metrics": self.final_metrics[i],
         }
@@ -179,6 +188,8 @@ def run_trials(
                 raise ValueError(
                     f"sweep[{k!r}] must have shape ({n_trials},), got {v.shape}")
 
+    max_resident_per_device = _safe_resident_cap(
+        cfg, mesh.devices.flat[0].platform, max_resident_per_device)
     max_wave = max(1, int(max_resident_per_device * n_dev))
     if n_trials > max_wave:
         import os
@@ -215,6 +226,32 @@ def run_trials(
                      sweep=sweep)
 
 
+#: On-chip-validated resident-trial ceiling for rematerialized conv forms:
+#: remat + 32 residents crashes the TPU worker after a ~27-minute compile
+#: (README known-limit); 8 residents is validated and throughput-optimal.
+REMAT_TPU_RESIDENT_CAP = 8
+
+
+def _safe_resident_cap(cfg, platform: str, max_resident_per_device: float) -> float:
+    """Clamp ``max_resident_per_device`` to the validated region.  The
+    known-crashing configuration (conv-form ``remat: true`` with >8
+    resident trials per TPU device) is silently split into sequential
+    waves instead of being allowed to kill the TPU worker — no config
+    accepted by ``TrainConfig.validate()`` can reach the crash region."""
+    if (getattr(cfg, "remat", False) and platform == "tpu"
+            and cfg.ae_form in ("normal", "compact")
+            and max_resident_per_device > REMAT_TPU_RESIDENT_CAP):
+        import logging
+
+        logging.getLogger("rankaae_tpu").warning(
+            "remat: true with %s resident trials/device on TPU is outside "
+            "the validated region (crashes the TPU worker at 32); capping "
+            "residents at %d per device — excess trials run as sequential "
+            "waves", max_resident_per_device, REMAT_TPU_RESIDENT_CAP)
+        return float(REMAT_TPU_RESIDENT_CAP)
+    return max_resident_per_device
+
+
 def _concat_results(waves):
     cat = lambda trees: jax.tree_util.tree_map(
         lambda *xs: np.concatenate(xs, axis=0), *trees
@@ -227,6 +264,10 @@ def _concat_results(waves):
         best_batch_stats=cat([w.best_batch_stats for w in waves]),
         best_epoch=np.concatenate([w.best_epoch for w in waves]),
         best_combined=np.concatenate([w.best_combined for w in waves]),
+        best_recon_params=cat([w.best_recon_params for w in waves]),
+        best_recon_batch_stats=cat([w.best_recon_batch_stats for w in waves]),
+        best_recon_epoch=np.concatenate([w.best_recon_epoch for w in waves]),
+        best_recon=np.concatenate([w.best_recon for w in waves]),
         logs=cat([w.logs for w in waves]),
         final_metrics=np.concatenate([w.final_metrics for w in waves]),
     )
@@ -318,11 +359,21 @@ def _run_wave(
                         f"resume requested lr_scales={want_scales}, "
                         f"sweep={want_sweep}"
                     )
-                states = load_train_state(state_fn, states)
-                start_epoch = int(progress["epoch"])
+                states, state_extra = load_train_state(
+                    state_fn, states, return_extra=True)
+                # The state file embeds the epoch it corresponds to, so a
+                # crash between the per-segment file writes can never leave
+                # state and epoch disagreeing; progress.json's epoch is the
+                # fallback for pre-epoch-embedding checkpoints.
+                start_epoch = int(state_extra.get("epoch", progress["epoch"]))
                 if os.path.exists(logs_fn):
                     with np.load(logs_fn) as z:
-                        log_parts.append({k: z[k] for k in z.files})
+                        # Truncate to the state's epoch: logs.npz is written
+                        # before the state file, so a crash in that window
+                        # can leave logs with epochs past the state —
+                        # replaying the segment would duplicate them.
+                        log_parts.append(
+                            {k: z[k][:, :start_epoch] for k in z.files})
     states = jax.device_put(states, trial_sharding)
     data = jax.device_put(data, data_sharding)
 
@@ -348,13 +399,18 @@ def _run_wave(
                 lambda x: x[:n_trials], seg_host), states, trial_offset)
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
-            save_train_state(os.path.join(checkpoint_dir, "trial_state.mpk"), states)
-            # cumulative logs so a resumed/completed rerun returns the full
-            # history (and final_metrics stay correct across restarts)
+            # Write order matters for crash consistency: logs first, then
+            # the state (which embeds its own epoch), then progress.  On
+            # resume the state's embedded epoch is authoritative and logs
+            # are truncated to it, so every crash window replays cleanly.
             cum = log_parts[0] if len(log_parts) == 1 else \
                 jax.tree_util.tree_map(
                     lambda *xs: np.concatenate(xs, axis=1), *log_parts)
-            np.savez(os.path.join(checkpoint_dir, "logs.npz"), **cum)
+            logs_tmp = os.path.join(checkpoint_dir, "logs.tmp.npz")
+            np.savez(logs_tmp, **cum)
+            os.replace(logs_tmp, os.path.join(checkpoint_dir, "logs.npz"))
+            save_train_state(os.path.join(checkpoint_dir, "trial_state.mpk"),
+                             states, extra={"epoch": e1})
             with open(os.path.join(checkpoint_dir, "progress.json"), "w") as f:
                 json.dump({"epoch": e1, "n_trials": n_trials, "seed": seed,
                            "lr_scales": None if lr_scales is None
@@ -384,6 +440,10 @@ def _run_wave(
         best_batch_stats=host(states.best_batch_stats),
         best_epoch=np.asarray(states.best_epoch)[:n_trials],
         best_combined=np.asarray(states.best_combined)[:n_trials],
+        best_recon_params=host(states.best_recon_params),
+        best_recon_batch_stats=host(states.best_recon_batch_stats),
+        best_recon_epoch=np.asarray(states.best_recon_epoch)[:n_trials],
+        best_recon=np.asarray(states.best_recon)[:n_trials],
         logs=logs_h,
         final_metrics=logs_h["metrics"][:, -1, :],
     )

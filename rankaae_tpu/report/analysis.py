@@ -305,11 +305,14 @@ def evaluate_all_models(model_path: str, test_ds,
     """Evaluate every ``job_*/<bundle_name>`` under ``model_path``
     (reference ``analysis.py:105-123`` over ``final.pt``).
 
-    ``bundle_name="best_tracked.mpk"`` selects over each trial's true-best
-    (min combined metric) model instead of the final-epoch snapshot — a
-    net-new option: the final epoch is a lottery draw once the plateau
-    schedulers freeze training (see PARITY_RESULTS_1500.md), and the
-    reference's own best-checkpoint gate is dead code upstream."""
+    ``bundle_name="best_recon.mpk"`` (what ``use_best_checkpoint: true``
+    passes) selects over each trial's best-reconstruction (min val recon
+    MSE) model instead of the final-epoch snapshot — a net-new option: the
+    final epoch is a lottery draw once the plateau schedulers freeze
+    training (see PARITY_RESULTS_1500.md), and the reference's own
+    best-checkpoint gate is dead code upstream.  ``best_tracked.mpk`` is
+    the faithful min-COMBINED-metric record; note that criterion fires in
+    the first ~100 epochs and its models reconstruct far worse."""
     import json
 
     result = {}

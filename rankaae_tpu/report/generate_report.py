@@ -206,11 +206,14 @@ def generate(work_dir: str, config: Parameters) -> str:
     test_ds = AuxSpectraDataset(os.path.join(work_dir, file_name),
                                 split_portion="val", n_aux=config.n_aux)
 
-    # net-new opt-in: select over each trial's true-best (min combined
-    # metric) checkpoint instead of the final-epoch snapshot — the final
-    # epoch is a lottery draw after the plateau schedulers freeze training
-    # (PARITY_RESULTS_1500.md).  Default False = reference behavior.
-    bundle_name = "best_tracked.mpk" if config.get("use_best_checkpoint", False) \
+    # net-new opt-in: select over each trial's best-RECONSTRUCTION (min val
+    # recon MSE) checkpoint instead of the final-epoch snapshot — the final
+    # epoch is a lottery draw after the plateau schedulers freeze training,
+    # and the min-COMBINED tracker (best_tracked.mpk, kept for the faithful
+    # metric record) fires in the first ~100 epochs and selects 5-14x-worse
+    # reconstructors (PARITY_RESULTS_1500.md).  Default False = reference
+    # behavior.
+    bundle_name = "best_recon.mpk" if config.get("use_best_checkpoint", False) \
         else "final.mpk"
 
     plot_job = config.get("plot_job", None)

@@ -30,11 +30,20 @@ from rankaae_tpu.models.inference import InferenceModel
 
 
 class BatchedInference:
-    """Fixed-shape, pad-and-chunk wrapper over an :class:`InferenceModel`."""
+    """Fixed-shape, pad-and-chunk wrapper over an :class:`InferenceModel`.
 
-    def __init__(self, model: InferenceModel, batch_size: int = 1024):
+    Chunks run through a **double-buffered H2D pipeline**: the next chunk's
+    host->device transfer is enqueued before the current chunk's compute
+    result is awaited, and device->host materialization is deferred behind
+    an ``in_flight``-deep window — JAX's async dispatch overlaps the three
+    stages (upload / compute / download) automatically.  ``in_flight``
+    bounds device memory for arbitrarily large datasets."""
+
+    def __init__(self, model: InferenceModel, batch_size: int = 1024,
+                 in_flight: int = 4):
         self.model = model
         self.batch_size = batch_size
+        self.in_flight = max(1, in_flight)
 
     def _chunk_apply(self, fn, x: np.ndarray) -> np.ndarray:
         n = x.shape[0]
@@ -42,9 +51,18 @@ class BatchedInference:
         n_pad = -(-n // b) * b
         padded = np.zeros((n_pad, x.shape[1]), np.float32)
         padded[:n] = x
-        outs = []
-        for i in range(0, n_pad, b):
-            outs.append(np.asarray(fn(jnp.asarray(padded[i:i + b]))))
+        starts = list(range(0, n_pad, b))
+        outs: list = []
+        pending: list = []
+        dev = jax.device_put(padded[starts[0]:starts[0] + b]) if starts else None
+        for j, i in enumerate(starts):
+            nxt = jax.device_put(padded[starts[j + 1]:starts[j + 1] + b]) \
+                if j + 1 < len(starts) else None        # async H2D upload
+            pending.append(fn(dev))                     # async compute
+            dev = nxt
+            if len(pending) > self.in_flight:
+                outs.append(np.asarray(pending.pop(0)))  # D2H download
+        outs.extend(np.asarray(p) for p in pending)
         return np.concatenate(outs, axis=0)[:n]
 
     def encode(self, spec: np.ndarray) -> np.ndarray:
@@ -54,7 +72,10 @@ class BatchedInference:
         return self._chunk_apply(self.model._decode, np.asarray(styles, np.float32))
 
     def reconstruct(self, spec: np.ndarray) -> np.ndarray:
-        return self.decode(self.encode(spec))
+        """Fused encode->decode: one device dispatch per chunk (no
+        styles round-trip through the host)."""
+        return self._chunk_apply(self.model._reconstruct,
+                                 np.asarray(spec, np.float32))
 
 
 def device_benchmark(model: InferenceModel, batch_size: int = 4096,
@@ -107,6 +128,43 @@ def device_benchmark(model: InferenceModel, batch_size: int = 4096,
     }
 
 
+def host_benchmark(model: InferenceModel, batch_size: int = 4096,
+                   n_batches: int = 64) -> dict:
+    """TRANSFER-INCLUSIVE serving throughput: host numpy in -> encode+decode
+    -> host numpy out, through :class:`BatchedInference`'s double-buffered
+    H2D/compute/D2H pipeline.  The complement of :func:`device_benchmark`
+    (which measures the device-resident loop): this number includes every
+    host<->device byte.  In this development environment the chip sits
+    behind a tunnel (~tens of MB/s), so the result here measures the
+    tunnel's bandwidth, not the design — the JSON carries the achieved
+    transfer rate so the caveat is quantified, and the same pipeline
+    saturates a real PCIe/ICI-attached chip."""
+    import time
+
+    dim = model.cfg.dim_in
+    rng = np.random.default_rng(0)
+    spec = rng.standard_normal((batch_size * n_batches, dim)).astype(np.float32)
+
+    serve = BatchedInference(model, batch_size=batch_size)
+    serve.reconstruct(spec[:batch_size * 2])  # compile + warm
+    t0 = time.time()
+    out = serve.reconstruct(spec)
+    wall = time.time() - t0
+    assert out.shape == spec.shape
+    n_bytes = spec.nbytes + out.nbytes  # H2D in + D2H out
+    return {
+        "metric": "serve_spectra_per_sec_host_pipelined",
+        "value": round(spec.shape[0] / wall, 1),
+        "unit": "spectra/s (incl. host<->device transfers)",
+        "batch_size": batch_size,
+        "n_batches": n_batches,
+        "transfer_MBps": round(n_bytes / wall / 1e6, 1),
+        "note": "double-buffered H2D pipeline; in this environment the "
+                "chip is tunnel-attached so this measures the tunnel "
+                "(see transfer_MBps), not the on-chip design",
+    }
+
+
 def main(argv: Optional[list] = None):
     from rankaae_tpu.utils.profiling import enable_compilation_cache
 
@@ -115,21 +173,28 @@ def main(argv: Optional[list] = None):
     parser.add_argument("bundle", help="model bundle (.mpk)")
     parser.add_argument("csv", nargs="?", help="spectra CSV (reference schema)")
     parser.add_argument("out_prefix", nargs="?", help="output file prefix")
-    parser.add_argument("--batch-size", type=int, default=1024)
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="default: 4096 for --bench, 1024 for the CSV "
+                             "path (an explicit value always wins)")
     parser.add_argument("--n-aux", type=int, default=5)
     parser.add_argument("--bench", action="store_true",
                         help="print the device-resident amortized "
                              "encode+decode throughput as one JSON line")
+    parser.add_argument("--bench-host", action="store_true",
+                        help="also print the transfer-INCLUSIVE throughput "
+                             "through the double-buffered H2D pipeline")
     args = parser.parse_args(argv)
 
-    if args.bench:
+    if args.bench or args.bench_host:
         import json
 
         model = InferenceModel.from_bundle(args.bundle)
-        result = device_benchmark(
-            model, batch_size=args.batch_size if args.batch_size != 1024
-            else 4096)
-        print(json.dumps(result))
+        if args.bench:
+            print(json.dumps(device_benchmark(
+                model, batch_size=args.batch_size or 4096)))
+        if args.bench_host:
+            print(json.dumps(host_benchmark(
+                model, batch_size=args.batch_size or 4096)))
         return
     if not args.csv or not args.out_prefix:
         parser.error("csv and out_prefix are required unless --bench")
@@ -140,7 +205,7 @@ def main(argv: Optional[list] = None):
     spec = data[:, args.n_aux:]
 
     model = InferenceModel.from_bundle(args.bundle)
-    serve = BatchedInference(model, batch_size=args.batch_size)
+    serve = BatchedInference(model, batch_size=args.batch_size or 1024)
     styles = serve.encode(spec)
     recon = serve.decode(styles)
     np.savetxt(args.out_prefix + "_styles.txt", styles)

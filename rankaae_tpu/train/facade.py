@@ -100,6 +100,12 @@ class Trainer:
             extra={"best_epoch": int(state.best_epoch),
                    "best_combined": float(state.best_combined)},
         )
+        save_model_bundle(
+            os.path.join(self.work_dir, "best_recon.mpk"),
+            state.best_recon_params, state.best_recon_batch_stats, cfg,
+            extra={"best_recon_epoch": int(state.best_recon_epoch),
+                   "best_recon_mse": float(state.best_recon)},
+        )
 
         metrics_all = self.logs["metrics"]
         if callback is not None:

@@ -111,6 +111,16 @@ class TrainState(NamedTuple):
     best_batch_stats: Dict[str, Any]
     # faithful-quirk gate (reference trainer.py:76,297-301; never fires)
     faithful_best: jnp.ndarray
+    # best-RECONSTRUCTION tracking (min val recon MSE; net-new).  The
+    # combined metric weights latent gaussianity/decoupling on par with
+    # reconstruction and its minimum fires in the first ~100 epochs on both
+    # stacks, selecting 5-14x-worse reconstructors (PARITY_RESULTS_1500.md)
+    # — so ``use_best_checkpoint`` deploys THIS model, while ``best_*``
+    # above remains the faithful min-combined record.
+    best_recon: jnp.ndarray
+    best_recon_epoch: jnp.ndarray
+    best_recon_params: Dict[str, Any]
+    best_recon_batch_stats: Dict[str, Any]
     # runtime-swept hyperparameters (net-new): per-state copies of the
     # config knobs that are numerically safe to vary across vmapped trials.
     # Defaults equal the config; parallel.run_trials(sweep=...) overrides
@@ -244,6 +254,10 @@ class RankAAETrainer:
             best_params=jax.tree_util.tree_map(jnp.copy, params),
             best_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
             faithful_best=jnp.asarray(10.0, jnp.float32),
+            best_recon=jnp.asarray(jnp.inf, jnp.float32),
+            best_recon_epoch=jnp.asarray(-1, jnp.int32),
+            best_recon_params=jax.tree_util.tree_map(jnp.copy, params),
+            best_recon_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
         )
 
     # ------------------------------------------------------------------ #
@@ -569,7 +583,8 @@ class RankAAETrainer:
         if n_full > 0:
             idx = perm[: n_full * cfg.batch_size].reshape(n_full, cfg.batch_size)
             state, train_losses = jax.lax.scan(
-                batch_step, state, (jnp.arange(n_full), idx)
+                batch_step, state, (jnp.arange(n_full), idx),
+                unroll=min(cfg.scan_unroll, n_full),
             )
             last = jax.tree_util.tree_map(lambda x: x[-1], train_losses)
             mi_sum = jnp.sum(train_losses["mi"])
@@ -604,6 +619,22 @@ class RankAAETrainer:
             faithful_best=jnp.where(
                 combined > state.faithful_best, combined, state.faithful_best
             ),
+        )
+
+        # best-reconstruction tracking (min val recon MSE) — the
+        # ``use_best_checkpoint`` deployment target (see TrainState)
+        is_best_recon = val_losses["recon"] < state.best_recon
+        take_r = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(is_best_recon, x, y), a, b
+        )
+        state = state._replace(
+            best_recon=jnp.where(is_best_recon, val_losses["recon"],
+                                 state.best_recon),
+            best_recon_epoch=jnp.where(is_best_recon, epoch,
+                                       state.best_recon_epoch),
+            best_recon_params=take_r(state.params, state.best_recon_params),
+            best_recon_batch_stats=take_r(state.batch_stats,
+                                          state.best_recon_batch_stats),
         )
 
         # plateau schedulers all step on the combined metric (trainer.py:303-304)

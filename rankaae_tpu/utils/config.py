@@ -147,6 +147,16 @@ class TrainConfig:
     # on FC/qved forms (their activations are already tiny).
     remat: bool = False
 
+    # Unroll factor for the per-epoch batch scan (net-new, experimental).
+    # lax.scan ``unroll`` merges iterations into one loop body, letting XLA
+    # overlap independent op chains ACROSS batch steps — e.g. batch k's
+    # decoder-only smoothness update with batch k+1's discriminator phase —
+    # which the while-loop barrier otherwise forbids.  Same math on the
+    # same data, but cross-step fusion reorders float ops (like vmap does),
+    # so trajectories are equivalent-in-distribution, not bitwise.  Compile
+    # time grows with the factor.
+    scan_unroll: int = 1
+
     # split ratios (reference hardcodes these in Trainer.from_data signature,
     # ``trainer.py:415``)
     train_ratio: float = 0.7
@@ -210,6 +220,10 @@ class TrainConfig:
             raise ValueError(
                 f"activation_dtype {self.activation_dtype!r} not in "
                 "('float32', 'bfloat16')"
+            )
+        if not (1 <= int(self.scan_unroll) <= 16):
+            raise ValueError(
+                f"scan_unroll must be in [1, 16], got {self.scan_unroll}"
             )
 
     def replace(self, **kw) -> "TrainConfig":

@@ -14,12 +14,22 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional, Tuple
 
-_SKIP = re.compile(
-    r"^\s*(ROOT\s+)?%?[\w.\-]+\s*=\s*\S+\s+"
-    r"(parameter|constant|get-tuple-element|tuple|bitcast|copy-done|"
-    r"after-all|add-dependency)\b"
-)
 _INST = re.compile(r"^\s*(ROOT\s+)?%?[\w.\-]+\s*=")
+#: opcodes that lower to no scheduled device work (plumbing)
+_PLUMBING = {
+    "parameter", "constant", "get-tuple-element", "tuple", "bitcast",
+    "copy-done", "after-all", "add-dependency",
+}
+# The opcode is the identifier directly before the operand list "(%..." or
+# "()"; matching on the result TYPE is unreliable — tuple-typed results
+# contain spaces and nested parens (e.g. "(f32[32]{0:T(128)}, ...)").
+_OPCODE = re.compile(r"=\s*(?:.*?\s)?([a-z][\w\-]*)\((?=%|\)|[a-z0-9])")
+
+
+def opcode(line: str) -> Optional[str]:
+    """The HLO opcode of an instruction line (None if unparseable)."""
+    m = _OPCODE.search(line.split(", metadata=")[0])
+    return m.group(1) if m else None
 
 
 def parse_computations(hlo_text: str) -> Tuple[Dict[str, List[str]], Optional[str]]:
@@ -50,7 +60,7 @@ def parse_computations(hlo_text: str) -> Tuple[Dict[str, List[str]], Optional[st
 
 def real_ops(lines: List[str]) -> List[str]:
     """Instructions that lower to scheduled device work."""
-    return [l for l in lines if not _SKIP.match(l)]
+    return [l for l in lines if opcode(l) not in _PLUMBING]
 
 
 def find_whiles(lines: List[str]) -> List[str]:

@@ -95,6 +95,7 @@ def test_mismatched_checkpoint_ignored(small_data, tmp_path):
     assert res.logs["val_recon"].shape == (2, 3)
 
 
+@pytest.mark.slow
 def test_wave_resume(small_data, tmp_path):
     """Checkpointing composes with sequential waves: trials beyond one
     resident wave checkpoint into per-wave subdirectories, completed waves
@@ -140,12 +141,54 @@ def test_wave_resume(small_data, tmp_path):
         np.testing.assert_allclose(a, b, atol=1e-6)
 
 
-def test_legacy_checkpoint_without_hparams_backfills(small_data, tmp_path):
-    """trial_state.mpk files written before TrainState.hparams existed must
-    still load: the missing hparams leaves are backfilled from the template
-    (which init_state populated from the config)."""
-    import jax
+def test_resume_after_crash_between_logs_and_state(small_data, tmp_path):
+    """Crash window: logs.npz was written for a segment but the state file
+    (written after it) wasn't.  The state's embedded epoch is authoritative
+    — resume must truncate the orphaned log epochs and replay the segment,
+    returning exactly max_epoch epochs with no duplicates."""
+    ckdir = tmp_path / "ck3"
+    cfg2 = _tiny_cfg(max_epoch=2, alpha_flat_step=1e-9)
+    run_trials(cfg2, small_data, n_trials=2, seed=5,
+               checkpoint_every=2, checkpoint_dir=str(ckdir))
+
+    # forge the crash: logs.npz contains a phantom extra epoch the state
+    # (epoch=2) knows nothing about
+    with np.load(ckdir / "logs.npz") as z:
+        cum = {k: z[k] for k in z.files}
+    forged = {k: np.concatenate([v, np.full_like(v[:, :1], 99.0)], axis=1)
+              for k, v in cum.items()}
+    np.savez(ckdir / "logs.npz", **forged)
+
+    cfg4 = _tiny_cfg(max_epoch=4, alpha_flat_step=1e-9)
+    res = run_trials(cfg4, small_data, n_trials=2, seed=5,
+                     checkpoint_every=2, checkpoint_dir=str(ckdir))
+    assert res.logs["val_recon"].shape == (2, 4)
+    assert not np.any(res.logs["val_recon"] == 99.0)
+    np.testing.assert_array_equal(np.asarray(res.logs["epoch"][0]),
+                                  np.arange(4))
+
+
+def _write_index_keyed(path, leaves):
     from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            {str(i): leaf for i, leaf in enumerate(leaves)}))
+
+
+@pytest.mark.parametrize("missing_fields", [
+    # pre-hparams era: missing both backfill generations
+    ("hparams", "best_recon", "best_recon_epoch",
+     "best_recon_params", "best_recon_batch_stats"),
+    # round-3 era: has hparams, predates best-recon tracking
+    ("best_recon", "best_recon_epoch",
+     "best_recon_params", "best_recon_batch_stats"),
+])
+def test_legacy_checkpoint_backfills(tmp_path, missing_fields):
+    """Marker-less index-keyed trial_state.mpk files from older formats must
+    still load: leaves of fields that postdate the checkpoint are backfilled
+    from the template (which init_state populated from the config)."""
+    import jax
 
     from rankaae_tpu.train.trainer import RankAAETrainer
     from rankaae_tpu.utils.checkpoint import load_train_state
@@ -154,16 +197,13 @@ def test_legacy_checkpoint_without_hparams_backfills(small_data, tmp_path):
     trainer = RankAAETrainer(cfg, 192, 64)
     state = trainer.init_state(jax.random.PRNGKey(0))
 
-    # Write a legacy-format checkpoint: every leaf in template order EXCEPT
-    # the hparams subtree, under the same sequential-index msgpack schema.
     path_leaves = jax.tree_util.tree_flatten_with_path(state)[0]
     legacy = [np.asarray(leaf) for kp, leaf in path_leaves
-              if not any(getattr(k, "name", None) == "hparams" for k in kp)]
-    assert len(legacy) < len(path_leaves)  # hparams leaves really dropped
+              if not any(getattr(k, "name", None) in missing_fields
+                         for k in kp)]
+    assert len(legacy) < len(path_leaves)  # leaves really dropped
     ck = tmp_path / "legacy_state.mpk"
-    with open(ck, "wb") as f:
-        f.write(serialization.msgpack_serialize(
-            {str(i): leaf for i, leaf in enumerate(legacy)}))
+    _write_index_keyed(ck, legacy)
 
     template = trainer.init_state(jax.random.PRNGKey(1))
     restored = load_train_state(str(ck), template)
@@ -176,6 +216,49 @@ def test_legacy_checkpoint_without_hparams_backfills(small_data, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    if "hparams" not in missing_fields:
+        for k, v in state.hparams.items():
+            np.testing.assert_array_equal(
+                np.asarray(restored.hparams[k]), np.asarray(v))
+
+
+def test_v2_state_roundtrip_and_mismatch_detection(tmp_path):
+    """The keypath-keyed v2 format: exact roundtrip, and a mismatched
+    checkpoint is refused by leaf NAME (ADVICE r03: the v1 leaf-count
+    coincidence could silently shift leaves)."""
+    import jax
+    from flax import serialization
+
+    from rankaae_tpu.train.trainer import RankAAETrainer
+    from rankaae_tpu.utils.checkpoint import (
+        load_train_state,
+        save_train_state,
+    )
+
+    cfg = _tiny_cfg(max_epoch=2)
+    trainer = RankAAETrainer(cfg, 192, 64)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    ck = tmp_path / "state.mpk"
+    save_train_state(str(ck), state)
+
+    template = trainer.init_state(jax.random.PRNGKey(1))
+    restored = load_train_state(str(ck), template)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a v2 payload with a foreign leaf name is refused even when the total
+    # leaf count happens to match (drop one leaf, add one unknown)
+    with open(ck, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    victim = next(k for k in payload if "best_combined" in k)
+    payload.pop(victim)
+    payload[".not_a_real_field"] = np.zeros((), np.float32)
+    bad = tmp_path / "bad.mpk"
+    with open(bad, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    with pytest.raises(ValueError, match="not in the template"):
+        load_train_state(str(bad), template)
 
 
 def test_incremental_losses_csv(small_data, tmp_path):

@@ -30,10 +30,17 @@ def test_entry_compiles_and_runs():
 def test_dryrun_multichip_inprocess():
     # conftest pins jax_platforms=cpu + 8 virtual devices, so this exercises
     # the in-process path — exactly what the driver's environment needs to
-    # reproduce via the subprocess path below.
+    # reproduce via the subprocess path below.  Tiny shapes only (quick
+    # lane); the flagship-shape case runs in the slow test below.
+    graft.dryrun_multichip(8, flagship=False)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_inprocess_flagship():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_subprocess_path(monkeypatch):
     # Simulate the driver's environment: no usable XLA_FLAGS device count, so
     # dryrun_multichip must re-exec itself into a pinned CPU-mesh subprocess.

@@ -15,6 +15,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _WORKER = r"""
 import sys
 import numpy as np
+import pytest
 import jax
 jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, {repo!r})
@@ -95,6 +96,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_distributed_training_epoch(tmp_path):
     port = _free_port()
     script = tmp_path / "worker.py"

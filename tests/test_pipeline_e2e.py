@@ -79,6 +79,7 @@ def test_train_sc_produces_artifacts(work_dir):
         assert os.path.exists(os.path.join(job, "losses.csv"))
         assert os.path.exists(os.path.join(job, "final.mpk"))
         assert os.path.exists(os.path.join(job, "best_tracked.mpk"))
+        assert os.path.exists(os.path.join(job, "best_recon.mpk"))
 
     # losses.csv schema byte-compatible with the reference fixture layout
     lines = open(os.path.join(work_dir, "training", "job_1", "losses.csv")).read().splitlines()
@@ -123,12 +124,14 @@ def test_generate_report_produces_artifacts(work_dir):
 
 
 def test_generate_report_over_best_checkpoints(work_dir):
-    """use_best_checkpoint: true selects over each trial's true-best
-    (min combined) model instead of the final-epoch snapshot (net-new;
-    the final epoch is a lottery draw after plateau freeze)."""
+    """use_best_checkpoint: true selects over each trial's best-RECON (min
+    val recon MSE) model instead of the final-epoch snapshot (net-new; the
+    final epoch is a lottery draw after plateau freeze, and min-combined
+    picks early-epoch far-worse reconstructors)."""
     import yaml
 
     from rankaae_tpu.cli.generate_report import main
+    from rankaae_tpu.utils.checkpoint import load_model_bundle
 
     cfg = yaml.safe_load(open(os.path.join(work_dir, "fix_config.yaml")))
     cfg["use_best_checkpoint"] = True
@@ -140,6 +143,15 @@ def test_generate_report_over_best_checkpoints(work_dir):
         report = json.load(f)
     assert len(report) == 2
     assert all(np.isfinite(r["Reconstruct Err"][0]) for r in report.values())
+    # the selected bundle is the min-val-recon model: its recorded recon MSE
+    # must be <= every logged val_recon (incl. the final epoch's)
+    for i in (1, 2):
+        job = os.path.join(work_dir, "training", f"job_{i}")
+        _, _, _, extra = load_model_bundle(os.path.join(job, "best_recon.mpk"))
+        import pandas as pd
+        df = pd.read_csv(os.path.join(job, "losses.csv"), index_col=False,
+                         delimiter=",", usecols=range(13))
+        assert extra["best_recon_mse"] <= df["Val_Recon"].min() + 1e-6
 
 
 def test_losses_csv_parses_with_reference_loss_curve_plotter(work_dir):

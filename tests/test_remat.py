@@ -26,6 +26,7 @@ def conv_data():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ae_form", ["normal", "compact"])
 def test_remat_conv_form_identical(conv_data, ae_form):
     """Forward passes under remat are bit-identical (params, dropout
@@ -73,6 +74,7 @@ def test_remat_conv_form_identical(conv_data, ae_form):
                                rtol=0.5, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_remat_forward_bit_identical():
     """The cheap, tight pin: same init, same rng streams, same train-mode
     forward (incl. dropout masks) with and without remat."""

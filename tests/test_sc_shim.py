@@ -6,6 +6,8 @@ torch oracle (see conftest.import_reference_sc)."""
 import subprocess
 import sys
 
+import pytest
+
 SCRIPT = r"""
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -35,6 +37,7 @@ assert p.a == 1
 
 # reference-signature loss call with torch-style kwargs
 import numpy as np
+import pytest
 import jax.numpy as jnp
 d = jnp.asarray(np.random.default_rng(0).normal(size=(32, 5)).astype("float32"))
 s = jnp.asarray(np.random.default_rng(1).normal(size=(32, 5)).astype("float32"))
@@ -122,6 +125,7 @@ def test_sc_shim_imports_and_works():
     assert "SC_SHIM_OK" in result.stdout, result.stdout + result.stderr
 
 
+@pytest.mark.slow
 def test_run_training_worker(synthetic_csv, tmp_path):
     """The reference-signature per-trial worker trains end-to-end (subprocess
     so the shim ``sc`` package never pollutes sys.modules)."""

@@ -29,6 +29,16 @@ def test_chunked_equals_whole(rng):
     np.testing.assert_allclose(chunked, whole, atol=1e-5)
     recon = serve.reconstruct(spec)
     assert recon.shape == (77, 64)
+    # the fused single-dispatch reconstruct == decode(encode(.))
+    np.testing.assert_allclose(
+        recon, serve.decode(serve.encode(spec)), atol=1e-5)
+    # deep in-flight pipeline window and a window larger than the chunk
+    # count both preserve exactness and row order
+    for in_flight in (1, 50):
+        np.testing.assert_allclose(
+            BatchedInference(model, batch_size=32,
+                             in_flight=in_flight).encode(spec),
+            whole, atol=1e-5)
 
 
 def test_serve_cli(tmp_path, synthetic_csv, rng):

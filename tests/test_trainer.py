@@ -194,6 +194,7 @@ def test_plateau_reduces_lr_on_stagnation(tiny_data):
     assert logs["lr_recon"][-1] < logs["lr_recon"][0]
 
 
+@pytest.mark.slow
 def test_determinism_same_seed(tiny_data):
     cfg = _tiny_cfg(max_epoch=4)
     _, s1, l1 = _run(cfg, tiny_data, seed=123)

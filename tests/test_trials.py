@@ -30,6 +30,7 @@ def test_run_trials_shapes_and_independence(tiny_data):
     assert np.all(np.isfinite(res.logs["val_recon"]))
 
 
+@pytest.mark.slow
 def test_lr_sweep_over_trial_axis(tiny_data):
     """Net-new HPO sweep: per-trial lr_scales change outcomes, and an
     all-ones sweep is numerically identical to no sweep (x*1.0 is exact)."""
@@ -55,6 +56,39 @@ def test_lr_sweep_over_trial_axis(tiny_data):
     with pytest.raises(NotImplementedError):
         run_trials(_tiny_cfg(optimizer_name="AdaBound"), tiny_data,
                    n_trials=4, lr_scales=np.ones(4))
+
+
+def test_scan_unroll_same_trajectory_contract(tiny_data):
+    """scan_unroll runs the same math on the same data but lets XLA fuse
+    across batch steps, which reorders float ops (exactly like vmap does —
+    see test_vmapped_trial_matches_single_trial): the contract is tight
+    agreement at the first epoch and qualitatively identical learning."""
+    base = run_trials(_tiny_cfg(max_epoch=3), tiny_data, n_trials=2, seed=4)
+    unrolled = run_trials(_tiny_cfg(max_epoch=3, scan_unroll=2), tiny_data,
+                          n_trials=2, seed=4)
+    np.testing.assert_allclose(base.logs["val_recon"][:, 0],
+                               unrolled.logs["val_recon"][:, 0], rtol=2e-2)
+    np.testing.assert_allclose(base.logs["val_recon"],
+                               unrolled.logs["val_recon"], rtol=0.5)
+    assert np.all(np.isfinite(unrolled.logs["val_recon"]))
+
+
+def test_remat_tpu_resident_cap():
+    """The known-crashing region (conv-form remat + >8 residents/device on
+    TPU) is clamped to sequential waves; every other combination passes
+    through untouched."""
+    from rankaae_tpu.parallel.trials import (
+        REMAT_TPU_RESIDENT_CAP,
+        _safe_resident_cap,
+    )
+
+    remat_conv = _tiny_cfg(ae_form="normal", remat=True)
+    assert _safe_resident_cap(remat_conv, "tpu", 64) == REMAT_TPU_RESIDENT_CAP
+    assert _safe_resident_cap(remat_conv, "tpu", 4) == 4
+    assert _safe_resident_cap(remat_conv, "cpu", 64) == 64
+    assert _safe_resident_cap(_tiny_cfg(ae_form="normal"), "tpu", 64) == 64
+    assert _safe_resident_cap(_tiny_cfg(ae_form="FC", remat=True),
+                              "tpu", 64) == 64
 
 
 def test_adabound_plain_run_trials(tiny_data):
@@ -92,26 +126,25 @@ def test_hparam_sweep_over_trial_axis(tiny_data):
                    sweep={"spec_noise": np.ones(3)})
 
 
+@pytest.mark.slow
 def test_lr_sweep_resume_mismatch_refused(tiny_data, tmp_path):
     """A checkpointed sweep cannot be resumed under different lr_scales —
     the checkpointed optimizer lrs embody the original sweep."""
-    cfg = _tiny_cfg(max_epoch=4)
     scales = np.asarray([1.0, 2.0, 0.5, 1.5], np.float32)
     ck = str(tmp_path / "state")
-    run_trials(cfg, tiny_data, n_trials=4, seed=2, checkpoint_every=2,
-               checkpoint_dir=ck, lr_scales=scales)
-    # simulate a crash mid-run: rewind progress so a resume would continue
-    import json
-    prog = json.load(open(f"{ck}/progress.json"))
-    prog["epoch"] = 2
-    json.dump(prog, open(f"{ck}/progress.json", "w"))
+    run_trials(_tiny_cfg(max_epoch=2), tiny_data, n_trials=4, seed=2,
+               checkpoint_every=2, checkpoint_dir=ck, lr_scales=scales)
+    # continue-training resume (max_epoch raised to 4) under different
+    # lr_scales must be refused
+    cfg4 = _tiny_cfg(max_epoch=4)
     with pytest.raises(ValueError, match="resume sweep mismatch"):
-        run_trials(cfg, tiny_data, n_trials=4, seed=2, checkpoint_every=2,
+        run_trials(cfg4, tiny_data, n_trials=4, seed=2, checkpoint_every=2,
                    checkpoint_dir=ck, lr_scales=np.ones(4, np.float32))
     # same scales resume fine
-    res = run_trials(cfg, tiny_data, n_trials=4, seed=2, checkpoint_every=2,
+    res = run_trials(cfg4, tiny_data, n_trials=4, seed=2, checkpoint_every=2,
                      checkpoint_dir=ck, lr_scales=scales)
     assert res.n_trials == 4
+    assert res.logs["val_recon"].shape == (4, 4)
 
 
 def test_run_trials_padding_non_divisible(tiny_data):
@@ -154,6 +187,7 @@ def _single_run(cfg, data, seed):
     return jax.jit(trainer.run)(state, data)
 
 
+@pytest.mark.slow
 def test_vmapped_matches_single_one_epoch_params(tiny_data):
     """Tight pin: with all stochastic regularizers off, one full epoch of the
     vmapped lane must reproduce the unvmapped run's PARAMETERS, optimizer-
@@ -193,6 +227,7 @@ def test_vmapped_matches_single_one_epoch_params(tiny_data):
                                    err_msg=f"epoch losses diverged in {name}")
 
 
+@pytest.mark.slow
 def test_vmapped_matches_single_deterministic_trajectory(tiny_data):
     """Multi-epoch pin: the 5-optimizer adversarial protocol is chaotic, so
     ulp-level vmap reassociation noise grows exponentially with epochs (at
@@ -223,6 +258,7 @@ def test_vmapped_matches_single_deterministic_trajectory(tiny_data):
         )
 
 
+@pytest.mark.slow
 def test_trial_dp_mesh_run(tiny_data):
     """First-class 2-D ``trial x dp`` mesh (SURVEY §2.8 DP row): dataset
     rows sharded over 'dp', trajectories match a 1-D mesh with the same
