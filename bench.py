@@ -96,6 +96,14 @@ def _roofline(compiled, wall, epochs, n_train, cfg, grl, smooth, trials):
         "mxu_padded_bound_s": round(mxu_padded_bound_s, 4),
         "op_model_s": round(op_model_s, 4),
         "roofline_pct": round(100.0 * mxu_padded_bound_s / wall, 1),
+        # The padded-MXU bound is NOT attainable for this protocol: the
+        # round-4 on-chip probes (PERF_NOTES_r04.md, artifacts/perf_r04)
+        # measured the batched matmuls at ~90% of chip peak already, and
+        # both proposed levers (carry flattening, trial-pair tile packing)
+        # as washes — the residual gap is the op/HBM pipeline cost of the
+        # reference's 5-pass-per-batch, 7-optimizer semantics.
+        "roofline_note": "padded-MXU bound unattainable for this protocol; "
+                         "see PERF_NOTES_r04.md",
     }
 
 
@@ -171,6 +179,15 @@ def bench(form: str, trials: int, epochs: int, n_rows: int,
         cfg = cfg.replace(matmul_precision=precision)
     cfg = cfg.replace(rng_impl=rng_impl, activation_dtype=act_dtype,
                       remat=remat, scan_unroll=scan_unroll)
+    if scan_unroll > 1 and jax.devices()[0].platform == "tpu":
+        # measured round 4: unroll=2 at flagship scale compiled for 41 min
+        # and then killed the remote compile helper (same failure mode as
+        # remat x 32 residents)
+        raise SystemExit(
+            "--unroll > 1 is not supported on TPU (crashes the remote "
+            "compile helper at flagship scale); it is a CPU-mesh "
+            "scheduling experiment"
+        )
     if (remat and form != "FC" and jax.devices()[0].platform == "tpu"
             and trials > len(jax.devices()) * 8):
         # bench vmaps all trials resident (no waves, unlike run_trials,

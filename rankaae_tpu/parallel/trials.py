@@ -188,6 +188,7 @@ def run_trials(
                 raise ValueError(
                     f"sweep[{k!r}] must have shape ({n_trials},), got {v.shape}")
 
+    _check_scan_unroll(cfg, mesh.devices.flat[0].platform)
     max_resident_per_device = _safe_resident_cap(
         cfg, mesh.devices.flat[0].platform, max_resident_per_device)
     max_wave = max(1, int(max_resident_per_device * n_dev))
@@ -230,6 +231,20 @@ def run_trials(
 #: remat + 32 residents crashes the TPU worker after a ~27-minute compile
 #: (README known-limit); 8 residents is validated and throughput-optimal.
 REMAT_TPU_RESIDENT_CAP = 8
+
+
+def _check_scan_unroll(cfg, platform: str) -> None:
+    """``scan_unroll > 1`` is CPU-mesh-experimental: at flagship scale on
+    the tunneled TPU the unrolled batch body blew the remote compile helper
+    up exactly like remat x 32 residents did (round-4 measurement — a
+    41-minute compile followed by helper death).  Refuse on TPU rather
+    than let an accepted config kill the worker."""
+    if getattr(cfg, "scan_unroll", 1) > 1 and platform == "tpu":
+        raise NotImplementedError(
+            "scan_unroll > 1 is not supported on TPU (the unrolled batch "
+            "body crashes the remote compile helper at flagship scale); "
+            "use it on the CPU mesh for scheduling experiments only"
+        )
 
 
 def _safe_resident_cap(cfg, platform: str, max_resident_per_device: float) -> float:

@@ -153,8 +153,10 @@ class TrainConfig:
     # decoder-only smoothness update with batch k+1's discriminator phase —
     # which the while-loop barrier otherwise forbids.  Same math on the
     # same data, but cross-step fusion reorders float ops (like vmap does),
-    # so trajectories are equivalent-in-distribution, not bitwise.  Compile
-    # time grows with the factor.
+    # so trajectories are equivalent-in-distribution, not bitwise.
+    # CPU-MESH-EXPERIMENTAL ONLY: at flagship scale on the tunneled TPU the
+    # unrolled body crashes the remote compile helper (round-4 measurement)
+    # — run_trials and bench refuse scan_unroll > 1 on TPU.
     scan_unroll: int = 1
 
     # split ratios (reference hardcodes these in Trainer.from_data signature,

@@ -176,7 +176,12 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
     import torch
 
     torch.manual_seed(seed)
-    torch.set_num_threads(os.cpu_count() or 8)
+    # default: all cores (fastest single sequential run, matching the
+    # committed wall-clock baselines).  RANKAAE_REF_THREADS caps it so
+    # several --mode ref seeds can run concurrently without 8 x 36-thread
+    # BLAS oversubscription starving them all.
+    torch.set_num_threads(
+        int(os.environ.get("RANKAAE_REF_THREADS", 0)) or os.cpu_count() or 8)
     from sc.clustering.trainer import Trainer as RefTrainer
     from sc.utils.parameter import Parameters as RefParameters
 

@@ -90,6 +90,14 @@ def test_remat_tpu_resident_cap():
     assert _safe_resident_cap(_tiny_cfg(ae_form="FC", remat=True),
                               "tpu", 64) == 64
 
+    # scan_unroll > 1 crashes the remote compile helper on TPU (round 4)
+    from rankaae_tpu.parallel.trials import _check_scan_unroll
+
+    with pytest.raises(NotImplementedError, match="scan_unroll"):
+        _check_scan_unroll(_tiny_cfg(scan_unroll=2), "tpu")
+    _check_scan_unroll(_tiny_cfg(scan_unroll=2), "cpu")
+    _check_scan_unroll(_tiny_cfg(), "tpu")
+
 
 def test_adabound_plain_run_trials(tiny_data):
     """Regression (ADVICE r03 high): plain AdaBound with lr_scales=None must
