@@ -222,6 +222,7 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
             config_parameters=p,
         )
     best = {"combined": np.inf, "epoch": -1, "enc": None, "dec": None}
+    recon_trace = []
     callback = None
     if track_best:
         import copy
@@ -229,6 +230,7 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
         weights = np.array(RefTrainer.metric_weights)
 
         def callback(epoch, metrics):
+            recon_trace.append(float(metrics[1]))  # val recon MSE
             combined = float(-(weights * np.array(metrics)).sum())
             if combined < best["combined"]:
                 best["combined"] = combined
@@ -237,6 +239,7 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
                 best["dec"] = copy.deepcopy(trainer.decoder.state_dict())
 
     metrics = trainer.train(callback=callback)
+    best["recon_trace"] = recon_trace
     wall = time.time() - t0
 
     enc, dec = trainer.encoder, trainer.decoder
@@ -263,7 +266,8 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
         dec_b.load_state_dict(best["dec"])
         enc_b.eval(), dec_b.eval()
         best_pair = _pair(enc_b, dec_b)
-    return metrics, wall, encode, decode, best_pair, best["epoch"]
+    return metrics, wall, encode, decode, best_pair, best["epoch"], \
+        best.get("recon_trace", [])
 
 
 def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1):
@@ -298,6 +302,7 @@ def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1):
     np.asarray(logs["combined"])
     wall = time.time() - t0
 
+    recon_traces = np.asarray(logs["val_recon"])  # (S, E)
     per_seed = []
     for s in range(n_seeds):
         take = lambda tree: jax.tree_util.tree_map(lambda x: x[s], tree)
@@ -306,8 +311,14 @@ def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1):
         best_model = InferenceModel(
             take(states.best_params), take(states.best_batch_stats), cfg)
         best_epoch = int(np.asarray(states.best_epoch)[s])
+        best_recon_model = InferenceModel(
+            take(states.best_recon_params),
+            take(states.best_recon_batch_stats), cfg)
+        best_recon_epoch = int(np.asarray(states.best_recon_epoch)[s])
         per_seed.append((metrics, model.encode, model.decode,
-                         best_model.encode, best_model.decode, best_epoch))
+                         best_model.encode, best_model.decode, best_epoch,
+                         best_recon_model.encode, best_recon_model.decode,
+                         best_recon_epoch, recon_traces[s]))
     return per_seed, wall
 
 
@@ -366,7 +377,8 @@ def _aggregate(args, json):
         "reference (torch CPU) vs rankaae_tpu",
         "",
         f"Same synthetic dataset ({refs[0]['rows']} rows, seed 42), same "
-        "config (`example/fix_config.yaml` hyperparameters, ae_form=FC, "
+        f"config (`example/fix_config.yaml` hyperparameters, ae_form="
+        f"{args.ae_form}, "
         f"{epochs} epochs, AdamW, GRL, flex recon, activated Kendall), "
         f"independent RNG.  Reference: {len(refs)} sequential torch-CPU runs "
         f"(seeds {min(r['seed'] for r in refs)}..{max(r['seed'] for r in refs)}); "
@@ -398,9 +410,14 @@ def _aggregate(args, json):
         "",
         "## Secondary: final-epoch models",
         "",
-        "Final-epoch weights are a BN-lottery sample once the plateau "
-        "cascade freezes all learning rates (~epoch 700; mechanism below) "
-        "— reported for completeness.",
+        ("Final-epoch weights are a BN-lottery sample once the plateau "
+         "cascade freezes all learning rates (~epoch 700; mechanism below) "
+         "— reported for completeness."
+         if epochs >= 1000 else
+         "Final-epoch weights still fluctuate epoch-to-epoch through "
+         "BatchNorm running statistics tracking the noisy training "
+         "batches; the floor row below is the stable convergence "
+         "comparison."),
         "",
         *_stats_table(ref_final, our_final),
         "",
@@ -409,6 +426,39 @@ def _aggregate(args, json):
         f"ours {ours['wall']:.1f}s for all {len(ours['seeds'])} seeds "
         "together on one TPU chip (incl. compile).",
         "",
+    ]
+
+    # Reconstruction floor (min val recon over the run) — present when the
+    # per-seed JSONs carry traces; the stable convergence comparison,
+    # immune to final-epoch BN fluctuation.
+    ref_floor = [r["val_recon_min"] for r in refs if "val_recon_min" in r]
+    our_floor = [s["val_recon_min"] for s in ours["seeds"]
+                 if "val_recon_min" in s]
+    if ref_floor and our_floor:
+        lines += [
+            "## Reconstruction floor (min val recon MSE over the run)",
+            "",
+            f"| reference (n={len(ref_floor)}) | rankaae_tpu "
+            f"(n={len(our_floor)}) |",
+            "|---|---|",
+            f"| {_fmt_spread(ref_floor)} | {_fmt_spread(our_floor)} |",
+            "",
+            f"Median floor ratio (ours/reference): "
+            f"**{np.median(our_floor)/np.median(ref_floor):.2f}x**.  The "
+            "min-val-recon model is what `use_best_checkpoint: true` "
+            "deploys (`best_recon.mpk`).",
+            "",
+        ]
+    our_brec = [s["best_recon"] for s in ours["seeds"] if "best_recon" in s]
+    if our_brec:
+        v = [b["recon_mse"] for b in our_brec]
+        lines += [
+            f"Ours best-recon bundle quality (saved model, re-evaluated): "
+            f"recon MSE {_fmt_spread(v)}.",
+            "",
+        ]
+
+    lines += [] if epochs < 1000 else [
         "## Mechanism: the final epoch is a lottery, not a quality gap",
         "",
         "Instrumented runs (per-epoch lr + metrics captured from BOTH "
@@ -493,8 +543,9 @@ def main():
         os.makedirs(args.json_dir, exist_ok=True)
         seed = args.ref_seed
         print(f"reference: training seed {seed} (torch CPU, best-tracked) ...")
-        _, wall, enc_r, dec_r, best_pair, best_epoch = run_reference(
-            workdir, cfg_dict, csv_path, seed=seed, track_best=True)
+        _, wall, enc_r, dec_r, best_pair, best_epoch, recon_trace = \
+            run_reference(workdir, cfg_dict, csv_path, seed=seed,
+                          track_best=True)
         rec = {
             "seed": seed, "wall": wall, "epochs": args.epochs,
             "rows": args.rows, "best_epoch": best_epoch,
@@ -502,6 +553,12 @@ def main():
             "best": _final_stats(*best_pair, val_spec, val_aux)
             if best_pair else None,
         }
+        if recon_trace:
+            # the run's reconstruction FLOOR, to separate convergence gaps
+            # from final-epoch fluctuation in cross-stack comparisons
+            rec["val_recon_min"] = float(np.min(recon_trace))
+            rec["val_recon_min_epoch"] = int(np.argmin(recon_trace))
+            rec["val_recon_trace"] = [round(float(x), 6) for x in recon_trace]
         out = os.path.join(args.json_dir, f"ref_seed_{seed}.json")
         with open(out, "w") as f:
             json.dump(rec, f, indent=1)
@@ -519,11 +576,20 @@ def main():
                                        n_seeds=args.seeds)
         rec = {"wall": ours_wall, "epochs": args.epochs, "rows": args.rows,
                "seeds": []}
-        for m, enc, dec, enc_b, dec_b, best_epoch in per_seed:
+        for (m, enc, dec, enc_b, dec_b, best_epoch,
+             enc_r, dec_r, best_recon_epoch, trace) in per_seed:
             rec["seeds"].append({
                 "best_epoch": best_epoch,
                 "final": _final_stats(enc, dec, val_spec, val_aux),
                 "best": _final_stats(enc_b, dec_b, val_spec, val_aux),
+                # min-val-recon model (the use_best_checkpoint target) and
+                # the run's reconstruction floor, to separate convergence
+                # gaps from final-epoch fluctuation
+                "best_recon_epoch": best_recon_epoch,
+                "best_recon": _final_stats(enc_r, dec_r, val_spec, val_aux),
+                "val_recon_min": float(np.min(trace)),
+                "val_recon_min_epoch": int(np.argmin(trace)),
+                "val_recon_trace": [round(float(x), 6) for x in trace],
             })
         out = os.path.join(args.json_dir, "ours.json")
         with open(out, "w") as f:
@@ -551,7 +617,7 @@ def main():
     ref_stats, ref_walls = [], []
     for seed in range(args.ref_seeds):
         print(f"reference: training seed {seed} (torch CPU) ...")
-        _, ref_wall, enc_r, dec_r, _, _ = run_reference(
+        _, ref_wall, enc_r, dec_r, _, _, _ = run_reference(
             workdir, cfg_dict, csv_path, seed=seed)
         ref_walls.append(ref_wall)
         ref_stats.append(_final_stats(enc_r, dec_r, val_spec, val_aux))
