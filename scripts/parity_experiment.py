@@ -385,13 +385,17 @@ def _aggregate(args, json):
         f"ours: {len(ours['seeds'])} seeds trained as one vmapped TPU "
         "program.  Cells are median [min, max] across seeds.",
         "",
-        "## Primary: best-checkpoint-selected models",
+        "## Min-combined-metric-selected models (selection-behavior parity)",
         "",
         "Both sides select the min-combined-metric epoch (the working form "
         "of the reference's dead `best=10.0` gate, trainer.py:76,298; ours: "
-        "`TrainState.best_params` argmin tracker; torch: min-combined "
-        "weights captured through the reference's public callback hook).  "
-        "This is the model a practitioner deploys (`use_best_checkpoint`).",
+        "`TrainState.best_params` argmin tracker / `best_tracked.mpk`; "
+        "torch: min-combined weights captured through the reference's "
+        "public callback hook).  NOTE: this criterion fires early and "
+        "selects poor reconstructors on BOTH stacks — what "
+        "`use_best_checkpoint: true` actually deploys is the min-val-recon "
+        "model (`best_recon.mpk`).  This table's purpose is "
+        "selection-BEHAVIOR parity.",
         "",
         *_stats_table(ref_best, our_best),
         "",
@@ -405,8 +409,8 @@ def _aggregate(args, json):
         "autoencoder converges.  The two stacks agreeing on this "
         "selection behavior — same metric, same early-epoch optimum, "
         "overlapping selected-model quality — is itself a parity result; "
-        "practitioners whose target is reconstruction read the "
-        "final-epoch table below.",
+        "reconstruction quality is compared at the final epoch and at "
+        "the floor below.",
         "",
         "## Secondary: final-epoch models",
         "",
