@@ -223,6 +223,7 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
         )
     best = {"combined": np.inf, "epoch": -1, "enc": None, "dec": None}
     recon_trace = []
+    lr_trace = []
     callback = None
     if track_best:
         import copy
@@ -231,6 +232,8 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
 
         def callback(epoch, metrics):
             recon_trace.append(float(metrics[1]))  # val recon MSE
+            lr_trace.append(float(
+                trainer.optimizers["reconstruction"].param_groups[0]["lr"]))
             combined = float(-(weights * np.array(metrics)).sum())
             if combined < best["combined"]:
                 best["combined"] = combined
@@ -240,6 +243,7 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
 
     metrics = trainer.train(callback=callback)
     best["recon_trace"] = recon_trace
+    best["lr_trace"] = lr_trace
     wall = time.time() - t0
 
     enc, dec = trainer.encoder, trainer.decoder
@@ -267,7 +271,7 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
         enc_b.eval(), dec_b.eval()
         best_pair = _pair(enc_b, dec_b)
     return metrics, wall, encode, decode, best_pair, best["epoch"], \
-        best.get("recon_trace", [])
+        best.get("recon_trace", []), best.get("lr_trace", [])
 
 
 def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1):
@@ -303,6 +307,7 @@ def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1):
     wall = time.time() - t0
 
     recon_traces = np.asarray(logs["val_recon"])  # (S, E)
+    lr_traces = np.asarray(logs["lr_recon"])       # (S, E) plateau-driven lr
     per_seed = []
     for s in range(n_seeds):
         take = lambda tree: jax.tree_util.tree_map(lambda x: x[s], tree)
@@ -318,7 +323,7 @@ def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1):
         per_seed.append((metrics, model.encode, model.decode,
                          best_model.encode, best_model.decode, best_epoch,
                          best_recon_model.encode, best_recon_model.decode,
-                         best_recon_epoch, recon_traces[s]))
+                         best_recon_epoch, recon_traces[s], lr_traces[s]))
     return per_seed, wall
 
 
@@ -547,9 +552,9 @@ def main():
         os.makedirs(args.json_dir, exist_ok=True)
         seed = args.ref_seed
         print(f"reference: training seed {seed} (torch CPU, best-tracked) ...")
-        _, wall, enc_r, dec_r, best_pair, best_epoch, recon_trace = \
-            run_reference(workdir, cfg_dict, csv_path, seed=seed,
-                          track_best=True)
+        _, wall, enc_r, dec_r, best_pair, best_epoch, recon_trace, lr_trace \
+            = run_reference(workdir, cfg_dict, csv_path, seed=seed,
+                            track_best=True)
         rec = {
             "seed": seed, "wall": wall, "epochs": args.epochs,
             "rows": args.rows, "best_epoch": best_epoch,
@@ -563,6 +568,7 @@ def main():
             rec["val_recon_min"] = float(np.min(recon_trace))
             rec["val_recon_min_epoch"] = int(np.argmin(recon_trace))
             rec["val_recon_trace"] = [round(float(x), 6) for x in recon_trace]
+            rec["lr_recon_trace"] = [float(x) for x in lr_trace]
         out = os.path.join(args.json_dir, f"ref_seed_{seed}.json")
         with open(out, "w") as f:
             json.dump(rec, f, indent=1)
@@ -581,7 +587,7 @@ def main():
         rec = {"wall": ours_wall, "epochs": args.epochs, "rows": args.rows,
                "seeds": []}
         for (m, enc, dec, enc_b, dec_b, best_epoch,
-             enc_r, dec_r, best_recon_epoch, trace) in per_seed:
+             enc_r, dec_r, best_recon_epoch, trace, lr_trace) in per_seed:
             rec["seeds"].append({
                 "best_epoch": best_epoch,
                 "final": _final_stats(enc, dec, val_spec, val_aux),
@@ -594,6 +600,8 @@ def main():
                 "val_recon_min": float(np.min(trace)),
                 "val_recon_min_epoch": int(np.argmin(trace)),
                 "val_recon_trace": [round(float(x), 6) for x in trace],
+                # plateau-scheduler diagnostics: when the recon lr was cut
+                "lr_recon_trace": [float(x) for x in lr_trace],
             })
         out = os.path.join(args.json_dir, "ours.json")
         with open(out, "w") as f:
@@ -621,7 +629,7 @@ def main():
     ref_stats, ref_walls = [], []
     for seed in range(args.ref_seeds):
         print(f"reference: training seed {seed} (torch CPU) ...")
-        _, ref_wall, enc_r, dec_r, _, _, _ = run_reference(
+        _, ref_wall, enc_r, dec_r, _, _, _, _ = run_reference(
             workdir, cfg_dict, csv_path, seed=seed)
         ref_walls.append(ref_wall)
         ref_stats.append(_final_stats(enc_r, dec_r, val_spec, val_aux))
