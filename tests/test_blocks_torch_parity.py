@@ -25,23 +25,29 @@ def _ref():
     return ref_model
 
 
+# NOTE: jnp.array (not asarray) — jnp.asarray of a torch-backed numpy view
+# can alias the torch buffer on the CPU backend, so a later in-place torch
+# mutation (e.g. a train-mode BN forward updating running stats) silently
+# changes the "copied" jax value.
+
+
 def _copy_conv(tconv, p):
-    p["weight"] = jnp.asarray(tconv.weight.detach().numpy())
-    p["bias"] = jnp.asarray(tconv.bias.detach().numpy())
+    p["weight"] = jnp.array(tconv.weight.detach().numpy())
+    p["bias"] = jnp.array(tconv.bias.detach().numpy())
 
 
 def _copy_linear(tlin, p):
-    p["kernel"] = jnp.asarray(tlin.weight.detach().numpy().T)
-    p["bias"] = jnp.asarray(tlin.bias.detach().numpy())
+    p["kernel"] = jnp.array(tlin.weight.detach().numpy().T)
+    p["bias"] = jnp.array(tlin.bias.detach().numpy())
 
 
 def _copy_prelu(tprelu, p):
-    p["alpha"] = jnp.asarray(tprelu.weight.detach().numpy())
+    p["alpha"] = jnp.array(tprelu.weight.detach().numpy())
 
 
 def _copy_bn(tbn, stats):
-    stats["mean"] = jnp.asarray(tbn.running_mean.numpy())
-    stats["var"] = jnp.asarray(tbn.running_var.numpy())
+    stats["mean"] = jnp.array(tbn.running_mean.numpy())
+    stats["var"] = jnp.array(tbn.running_var.numpy())
 
 
 def _deep_mutable(d):
