@@ -20,7 +20,11 @@ from rankaae_tpu.utils.config import TrainConfig
 
 
 def _t2n(t) -> np.ndarray:
-    return np.asarray(t.detach().cpu().numpy(), np.float32)
+    # np.array, not asarray: for an f32 tensor .numpy() shares memory with
+    # the live torch storage, and a later in-place torch mutation (an
+    # optimizer step, a train-mode BN forward) would silently change the
+    # "converted" weights.  Always materialize an owned copy.
+    return np.array(t.detach().cpu().numpy(), dtype=np.float32)
 
 
 def _convert_fc_stack(seq, n_layers: int, final_bn: bool):
