@@ -60,6 +60,32 @@ def _seed_report(tag, rec):
                 first_cut_recon=at_first_cut, cuts=cuts)
 
 
+def _descent_table(d):
+    """Cross-stack recon-descent distributions at fixed epochs — separates
+    'our seeds descend slower' from 'our seeds get cut earlier'."""
+    ours_tr, ref_tr = [], []
+    ours = os.path.join(d, "ours.json")
+    if os.path.exists(ours):
+        for rec in json.load(open(ours)).get("seeds", []):
+            if rec.get("val_recon_trace"):
+                ours_tr.append(np.asarray(rec["val_recon_trace"]))
+    for f in sorted(glob.glob(os.path.join(d, "ref_seed_*.json"))):
+        rec = json.load(open(f))
+        if rec.get("val_recon_trace"):
+            ref_tr.append(np.asarray(rec["val_recon_trace"]))
+    if not ours_tr or not ref_tr:
+        return
+    n = min(min(len(t) for t in ours_tr), min(len(t) for t in ref_tr))
+    probe = [e for e in (20, 40, 60, 100, 150, 200, 299) if e < n]
+    print(f"-- recon at fixed epochs (median [min, max]):")
+    for tag, trs in (("ours", ours_tr), ("ref ", ref_tr)):
+        cells = []
+        for e in probe:
+            v = np.array([t[e] for t in trs])
+            cells.append(f"ep{e} {np.median(v):.4f} [{v.min():.4f},{v.max():.4f}]")
+        print(f"   {tag} (n={len(trs)}): " + "  ".join(cells))
+
+
 def main(dirs):
     for d in dirs:
         print(f"=== {d} ===")
@@ -74,6 +100,7 @@ def main(dirs):
         for f in sorted(glob.glob(os.path.join(d, "ref_seed_*.json"))):
             rec = json.load(open(f))
             _seed_report(f"ref seed {rec.get('seed')}", rec)
+        _descent_table(d)
         if rows:
             floors = np.array([r["floor"] for r in rows])
             finals = np.array([r["final"] for r in rows])
