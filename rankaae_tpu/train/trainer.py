@@ -637,10 +637,19 @@ class RankAAETrainer:
                                           state.best_recon_batch_stats),
         )
 
-        # plateau schedulers all step on the combined metric (trainer.py:303-304)
+        # plateau schedulers step on the combined metric (trainer.py:303-304);
+        # with sch_recon_metric="val_recon" (net-new, see TrainConfig) the
+        # reconstruction scheduler steps on val recon MSE instead, so the
+        # recon lr is only cut once reconstruction itself has plateaued
         sched = {
-            name: plateau_update(s, combined, cfg.sch_factor, cfg.sch_patience)
-            for name, s in state.sched.items()
+            name: plateau_update(
+                state.sched[name],
+                val_losses["recon"]
+                if (name == "reconstruction"
+                    and cfg.sch_recon_metric == "val_recon")
+                else combined,
+                cfg.sch_factor, cfg.sch_patience)
+            for name in state.sched
         }
         state = state._replace(sched=sched)
 

@@ -117,6 +117,17 @@ class TrainConfig:
     # default 500 mirrors the reference fallback (``trainer.py:59``)
     epoch_stop_smooth: int = 500
 
+    # net-new: metric driving the RECONSTRUCTION optimizer's plateau
+    # scheduler.  "combined" = faithful reference behavior (all 7 schedulers
+    # step on the combined metric, reference trainer.py:303-304) — which can
+    # cut the reconstruction lr while val recon is still improving and
+    # freeze a run at a high floor (the "freeze lottery"; observed on BOTH
+    # stacks, see PARITY_RESULTS_CONV.md).  "val_recon" steps that one
+    # scheduler on validation reconstruction MSE instead, so the recon lr
+    # only drops once reconstruction itself has plateaued.  The other six
+    # schedulers always follow the reference.
+    sch_recon_metric: str = "combined"
+
     # net-new: matmul/conv precision ('highest' = true f32, parity-exact;
     # 'default' = fast TPU bf16 passes — required for the deep conv families
     # under memory-limited remote compilers, see README known-gaps).
@@ -226,6 +237,11 @@ class TrainConfig:
         if not (1 <= int(self.scan_unroll) <= 16):
             raise ValueError(
                 f"scan_unroll must be in [1, 16], got {self.scan_unroll}"
+            )
+        if self.sch_recon_metric not in ("combined", "val_recon"):
+            raise ValueError(
+                f"sch_recon_metric {self.sch_recon_metric!r} not in "
+                "('combined', 'val_recon')"
             )
 
     def replace(self, **kw) -> "TrainConfig":
