@@ -73,8 +73,11 @@ def _stub_reference_deps():
 
 
 def _experiment_config(epochs, ae_form="FC", precision=None, rng_impl=None,
-                       act_dtype=None):
+                       act_dtype=None, sch_recon_metric=None):
     extra = {}
+    if sch_recon_metric is not None:
+        # rankaae_tpu-only knob (see TrainConfig.sch_recon_metric)
+        extra["sch_recon_metric"] = sch_recon_metric
     if ae_form != "FC":
         extra["ae_form"] = ae_form
     if precision is not None:
@@ -186,7 +189,8 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
     from sc.utils.parameter import Parameters as RefParameters
 
     ref_cfg = {k: v for k, v in cfg_dict.items()
-               if k not in ("matmul_precision", "rng_impl", "activation_dtype")}
+               if k not in ("matmul_precision", "rng_impl", "activation_dtype",
+                            "sch_recon_metric")}
     t0 = time.time()
     if ref_cfg.get("ae_form", "FC") == "FC":
         trainer = RefTrainer.from_data(
@@ -521,6 +525,10 @@ def main():
                     help="ours-only activation storage dtype (torch is f32)")
     ap.add_argument("--rng", default=None, choices=[None, "threefry", "rbg"],
                     help="ours-only PRNG implementation")
+    ap.add_argument("--sch-recon-metric", default=None,
+                    choices=[None, "combined", "val_recon"],
+                    help="ours-only: metric driving the reconstruction "
+                         "plateau scheduler (see TrainConfig)")
     ap.add_argument("--mode", default="full",
                     choices=["full", "ref", "ours", "aggregate"],
                     help="full: legacy single-process run.  ref/ours: train "
@@ -541,7 +549,8 @@ def main():
     make_synthetic_xanes_csv(csv_path, n_rows=args.rows, dim=256, seed=42)
     cfg_dict = _experiment_config(args.epochs, ae_form=args.ae_form,
                                   precision=args.precision, rng_impl=args.rng,
-                                  act_dtype=args.act_dtype)
+                                  act_dtype=args.act_dtype,
+                                  sch_recon_metric=args.sch_recon_metric)
 
     splits = load_split_arrays(csv_path, n_aux=5)
     val_spec, val_aux = splits["val"].spec, splits["val"].aux
