@@ -228,6 +228,7 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
     best = {"combined": np.inf, "epoch": -1, "enc": None, "dec": None}
     recon_trace = []
     lr_trace = []
+    metrics_trace = []  # full per-epoch 5-vector [shapiro_min, recon, MI, coupling, aux]
     callback = None
     if track_best:
         import copy
@@ -236,6 +237,7 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
 
         def callback(epoch, metrics):
             recon_trace.append(float(metrics[1]))  # val recon MSE
+            metrics_trace.append([float(x) for x in metrics])
             lr_trace.append(float(
                 trainer.optimizers["reconstruction"].param_groups[0]["lr"]))
             combined = float(-(weights * np.array(metrics)).sum())
@@ -248,6 +250,7 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
     metrics = trainer.train(callback=callback)
     best["recon_trace"] = recon_trace
     best["lr_trace"] = lr_trace
+    best["metrics_trace"] = metrics_trace
     wall = time.time() - t0
 
     enc, dec = trainer.encoder, trainer.decoder
@@ -275,7 +278,8 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
         enc_b.eval(), dec_b.eval()
         best_pair = _pair(enc_b, dec_b)
     return metrics, wall, encode, decode, best_pair, best["epoch"], \
-        best.get("recon_trace", []), best.get("lr_trace", [])
+        best.get("recon_trace", []), best.get("lr_trace", []), \
+        best.get("metrics_trace", [])
 
 
 def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1):
@@ -312,6 +316,13 @@ def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1):
 
     recon_traces = np.asarray(logs["val_recon"])  # (S, E)
     lr_traces = np.asarray(logs["lr_recon"])       # (S, E) plateau-driven lr
+    # full component traces for cross-stack loss-dynamics comparison:
+    # "metrics" is the reference-order validation 5-vector (S, E, 5);
+    # the val_*/train_* series are ours-only diagnostics
+    trace_keys = ("metrics", "val_gen", "val_dis", "val_smooth", "val_mi",
+                  "val_aux", "train_recon", "train_gen", "train_dis",
+                  "train_aux", "train_smooth", "train_mi")
+    component_traces = {k: np.asarray(logs[k]) for k in trace_keys}
     per_seed = []
     for s in range(n_seeds):
         take = lambda tree: jax.tree_util.tree_map(lambda x: x[s], tree)
@@ -328,7 +339,7 @@ def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1):
                          best_model.encode, best_model.decode, best_epoch,
                          best_recon_model.encode, best_recon_model.decode,
                          best_recon_epoch, recon_traces[s], lr_traces[s]))
-    return per_seed, wall
+    return per_seed, wall, component_traces
 
 
 def _fmt_spread(vals, fmt="{:.5f}"):
@@ -561,9 +572,9 @@ def main():
         os.makedirs(args.json_dir, exist_ok=True)
         seed = args.ref_seed
         print(f"reference: training seed {seed} (torch CPU, best-tracked) ...")
-        _, wall, enc_r, dec_r, best_pair, best_epoch, recon_trace, lr_trace \
-            = run_reference(workdir, cfg_dict, csv_path, seed=seed,
-                            track_best=True)
+        (_, wall, enc_r, dec_r, best_pair, best_epoch, recon_trace, lr_trace,
+         metrics_trace) = run_reference(workdir, cfg_dict, csv_path, seed=seed,
+                                        track_best=True)
         rec = {
             "seed": seed, "wall": wall, "epochs": args.epochs,
             "rows": args.rows, "best_epoch": best_epoch,
@@ -578,6 +589,11 @@ def main():
             rec["val_recon_min_epoch"] = int(np.argmin(recon_trace))
             rec["val_recon_trace"] = [round(float(x), 6) for x in recon_trace]
             rec["lr_recon_trace"] = [float(x) for x in lr_trace]
+        if metrics_trace:
+            # full validation 5-vector per epoch, reference order
+            # (trainer.py:294): [shapiro_min, recon, avg_MI, coupling, aux]
+            rec["metrics_trace"] = [[round(float(x), 6) for x in row]
+                                    for row in metrics_trace]
         out = os.path.join(args.json_dir, f"ref_seed_{seed}.json")
         with open(out, "w") as f:
             json.dump(rec, f, indent=1)
@@ -590,9 +606,9 @@ def main():
     if args.mode == "ours":
         os.makedirs(args.json_dir, exist_ok=True)
         print(f"ours: training {args.seeds} seeds x {args.epochs} epochs ...")
-        per_seed, ours_wall = run_ours(workdir, cfg_dict, csv_path,
-                                       platform=args.platform,
-                                       n_seeds=args.seeds)
+        per_seed, ours_wall, comp_traces = run_ours(workdir, cfg_dict, csv_path,
+                                                    platform=args.platform,
+                                                    n_seeds=args.seeds)
         rec = {"wall": ours_wall, "epochs": args.epochs, "rows": args.rows,
                "seeds": []}
         for (m, enc, dec, enc_b, dec_b, best_epoch,
@@ -612,6 +628,13 @@ def main():
                 # plateau-scheduler diagnostics: when the recon lr was cut
                 "lr_recon_trace": [float(x) for x in lr_trace],
             })
+        for s_idx in range(len(rec["seeds"])):
+            rec["seeds"][s_idx]["metrics_trace"] = [
+                [round(float(x), 6) for x in row]
+                for row in comp_traces["metrics"][s_idx]]
+            rec["seeds"][s_idx]["component_traces"] = {
+                k: [round(float(x), 6) for x in comp_traces[k][s_idx]]
+                for k in comp_traces if k != "metrics"}
         out = os.path.join(args.json_dir, "ours.json")
         with open(out, "w") as f:
             json.dump(rec, f, indent=1)
@@ -625,8 +648,8 @@ def main():
 
     print(f"ours: training {args.seeds} seeds x {args.epochs} epochs "
           f"on {args.rows} rows (one vmapped program) ...")
-    per_seed, ours_wall = run_ours(workdir, cfg_dict, csv_path,
-                                   platform=args.platform, n_seeds=args.seeds)
+    per_seed, ours_wall, _ = run_ours(workdir, cfg_dict, csv_path,
+                                      platform=args.platform, n_seeds=args.seeds)
     ours_stats = [_final_stats(enc, dec, val_spec, val_aux)
                   for _, enc, dec, *_ in per_seed]
     print(f"ours: {ours_wall:.1f}s total, "
@@ -638,7 +661,7 @@ def main():
     ref_stats, ref_walls = [], []
     for seed in range(args.ref_seeds):
         print(f"reference: training seed {seed} (torch CPU) ...")
-        _, ref_wall, enc_r, dec_r, _, _, _, _ = run_reference(
+        _, ref_wall, enc_r, dec_r, _, _, _, _, _ = run_reference(
             workdir, cfg_dict, csv_path, seed=seed)
         ref_walls.append(ref_wall)
         ref_stats.append(_final_stats(enc_r, dec_r, val_spec, val_aux))
