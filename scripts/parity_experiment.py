@@ -565,6 +565,16 @@ def main():
 
     splits = load_split_arrays(csv_path, n_aux=5)
     val_spec, val_aux = splits["val"].spec, splits["val"].aux
+    train_spec = splits["train"].spec
+
+    def _train_eval_recon(encode, decode):
+        """Eval-mode (running-stats) recon MSE on the TRAIN split.
+
+        Disentangles the two explanations for a high final val recon: if
+        this is high too while the train-mode train_recon trace is low,
+        the gap is BatchNorm running-stats mismatch, not overfitting."""
+        out = decode(encode(train_spec))
+        return float(np.mean((out - train_spec) ** 2))
 
     import json
 
@@ -581,6 +591,7 @@ def main():
             "final": _final_stats(enc_r, dec_r, val_spec, val_aux),
             "best": _final_stats(*best_pair, val_spec, val_aux)
             if best_pair else None,
+            "train_recon_eval": _train_eval_recon(enc_r, dec_r),
         }
         if recon_trace:
             # the run's reconstruction FLOOR, to separate convergence gaps
@@ -627,6 +638,7 @@ def main():
                 "val_recon_trace": [round(float(x), 6) for x in trace],
                 # plateau-scheduler diagnostics: when the recon lr was cut
                 "lr_recon_trace": [float(x) for x in lr_trace],
+                "train_recon_eval": _train_eval_recon(enc, dec),
             })
         for s_idx in range(len(rec["seeds"])):
             rec["seeds"][s_idx]["metrics_trace"] = [
