@@ -19,6 +19,7 @@ import os
 import signal
 import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -126,10 +127,25 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
     total = time.time() - start
 
     # per-trial artifacts (reference train_sc.py:48-102 layout)
+    if cfg.bn_recalibrate:
+        # SWA-style update_bn before every saved bundle (net-new, opt-in):
+        # replace BN running stats with full-train-set statistics so
+        # eval-mode deployment matches the trained model's activations
+        # (models/recalibrate.py; motivating data in PARITY_RESULTS_CONV.md)
+        from rankaae_tpu.models.recalibrate import recalibrate_batch_stats
+
     for i in range(results.n_trials):
         job_dir = os.path.join(work_dir, "training", f"job_{i+1}")
         os.makedirs(job_dir, exist_ok=True)
         tr = results.trial(i)
+        if cfg.bn_recalibrate:
+            for pk, sk in (("final_params", "final_batch_stats"),
+                           ("best_params", "best_batch_stats"),
+                           ("best_recon_params", "best_recon_batch_stats")):
+                tr[sk] = jax.tree_util.tree_map(
+                    np.asarray,
+                    recalibrate_batch_stats(cfg, tr[pk], tr[sk],
+                                            data.train_spec))
         job_logger = create_logger(f"subtraining_{i+1}",
                                    os.path.join(job_dir, "messages.txt"))
         job_logger.info(f"Training started for trial {i+1}.")

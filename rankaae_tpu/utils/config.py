@@ -128,6 +128,13 @@ class TrainConfig:
     # schedulers always follow the reference.
     sch_recon_metric: str = "combined"
 
+    # net-new: recalibrate BatchNorm running statistics with one full-train
+    # train-mode pass before saving each model bundle (SWA-style update_bn,
+    # models/recalibrate.py).  Removes the eval-mode/train-mode mismatch some
+    # conv seeds end training in (eval recon 3-4x worse than train-mode;
+    # PARITY_RESULTS_CONV.md) — off by default for reference parity.
+    bn_recalibrate: bool = False
+
     # net-new: matmul/conv precision ('highest' = true f32, parity-exact;
     # 'default' = fast TPU bf16 passes — required for the deep conv families
     # under memory-limited remote compilers, see README known-gaps).

@@ -323,11 +323,19 @@ def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1):
                   "val_aux", "train_recon", "train_gen", "train_dis",
                   "train_aux", "train_smooth", "train_mi")
     component_traces = {k: np.asarray(logs[k]) for k in trace_keys}
+    from rankaae_tpu.models.recalibrate import recalibrate_batch_stats
+
     per_seed = []
     for s in range(n_seeds):
         take = lambda tree: jax.tree_util.tree_map(lambda x: x[s], tree)
         metrics = [float(x) for x in np.asarray(logs["metrics"])[s, -1]]
         model = InferenceModel(take(states.params), take(states.batch_stats), cfg)
+        # the bn_recalibrate deployment path: final params + full-train BN stats
+        recal_model = InferenceModel(
+            take(states.params),
+            recalibrate_batch_stats(cfg, take(states.params),
+                                    take(states.batch_stats), data.train_spec),
+            cfg)
         best_model = InferenceModel(
             take(states.best_params), take(states.best_batch_stats), cfg)
         best_epoch = int(np.asarray(states.best_epoch)[s])
@@ -338,7 +346,8 @@ def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1):
         per_seed.append((metrics, model.encode, model.decode,
                          best_model.encode, best_model.decode, best_epoch,
                          best_recon_model.encode, best_recon_model.decode,
-                         best_recon_epoch, recon_traces[s], lr_traces[s]))
+                         best_recon_epoch, recon_traces[s], lr_traces[s],
+                         recal_model.encode, recal_model.decode))
     return per_seed, wall, component_traces
 
 
@@ -549,6 +558,11 @@ def main():
                     help="mode=ref: which torch seed to train")
     ap.add_argument("--json-dir", default="/tmp/parity_json",
                     help="per-seed JSON store for ref/ours/aggregate modes")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    dest="overrides",
+                    help="config override applied to BOTH stacks (repeatable), "
+                         "e.g. --set batch_size=1400 --set spec_noise=0.0 — "
+                         "for controlled-bisection experiments")
     args = ap.parse_args()
 
     from rankaae_tpu.data.synthetic import make_synthetic_xanes_csv
@@ -562,6 +576,16 @@ def main():
                                   precision=args.precision, rng_impl=args.rng,
                                   act_dtype=args.act_dtype,
                                   sch_recon_metric=args.sch_recon_metric)
+    import ast
+
+    for kv in args.overrides:
+        key, _, raw = kv.partition("=")
+        if key not in cfg_dict:
+            raise SystemExit(f"--set {key}: unknown config key")
+        try:
+            cfg_dict[key] = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            cfg_dict[key] = raw  # bare string value
 
     splits = load_split_arrays(csv_path, n_aux=5)
     val_spec, val_aux = splits["val"].spec, splits["val"].aux
@@ -587,7 +611,8 @@ def main():
                                         track_best=True)
         rec = {
             "seed": seed, "wall": wall, "epochs": args.epochs,
-            "rows": args.rows, "best_epoch": best_epoch,
+            "rows": args.rows, "overrides": args.overrides,
+            "best_epoch": best_epoch,
             "final": _final_stats(enc_r, dec_r, val_spec, val_aux),
             "best": _final_stats(*best_pair, val_spec, val_aux)
             if best_pair else None,
@@ -621,12 +646,15 @@ def main():
                                                     platform=args.platform,
                                                     n_seeds=args.seeds)
         rec = {"wall": ours_wall, "epochs": args.epochs, "rows": args.rows,
-               "seeds": []}
+               "overrides": args.overrides, "seeds": []}
         for (m, enc, dec, enc_b, dec_b, best_epoch,
-             enc_r, dec_r, best_recon_epoch, trace, lr_trace) in per_seed:
+             enc_r, dec_r, best_recon_epoch, trace, lr_trace,
+             enc_rc, dec_rc) in per_seed:
             rec["seeds"].append({
                 "best_epoch": best_epoch,
                 "final": _final_stats(enc, dec, val_spec, val_aux),
+                # final params with recalibrated BN stats (bn_recalibrate path)
+                "final_recal": _final_stats(enc_rc, dec_rc, val_spec, val_aux),
                 "best": _final_stats(enc_b, dec_b, val_spec, val_aux),
                 # min-val-recon model (the use_best_checkpoint target) and
                 # the run's reconstruction floor, to separate convergence
