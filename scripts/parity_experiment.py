@@ -148,8 +148,32 @@ def _final_stats(encode, decode, val_spec, val_aux):
         abs(spearmanr(z[:, i], z[:, j]).correlation)
         for i, j in itertools.combinations(range(z.shape[1]), 2)
     ))
+    # per-sample amplitude ratio |mean(out)|/|mean(target)| — the flex
+    # training loss only weakly constrains it (0.1-weighted penalty;
+    # the scale factor itself is detached+clamped to [0.7,1.3]), so plain
+    # validation MSE also reflects amplitude drift the training objective
+    # barely punishes.  scale_err quantifies that drift; recon_mse_flex is
+    # the validation recon under the TRAINING objective's clamped rescale.
+    ratio = np.abs(out.mean(axis=1)) / np.abs(val_spec.mean(axis=1))
+    scale_err = float(np.median(np.abs(ratio - 1.0)))
+    # signed bias + spread: |bias| ~= scale_err means a COHERENT global gain
+    # drift (fixable by one train-set scalar); spread >> |bias| means
+    # per-sample scatter (not)
+    scale_bias = float(np.median(ratio) - 1.0)
+    scale_spread = float(np.percentile(ratio, 84) - np.percentile(ratio, 16))
+    clamped = np.clip(ratio, 0.7, 1.3)
+    recon_mse_flex = float(np.mean((out - val_spec * clamped[:, None]) ** 2))
+    # plain MSE after dividing out the single median gain — the one-scalar
+    # deployment-calibration payoff
+    recon_mse_cal = float(np.mean(
+        (out / (1.0 + scale_bias) - val_spec) ** 2))
     return {
         "recon_mse": recon_mse,
+        "recon_mse_flex": recon_mse_flex,
+        "recon_mse_cal": recon_mse_cal,
+        "scale_err": scale_err,
+        "scale_bias": scale_bias,
+        "scale_spread": scale_spread,
         "style_desc_rho": style_desc_rho,
         "shapiro_min": shapiro_min,
         "coupling": coupling,
