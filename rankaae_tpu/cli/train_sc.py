@@ -133,6 +133,12 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
         # eval-mode deployment matches the trained model's activations
         # (models/recalibrate.py; motivating data in PARITY_RESULTS_CONV.md)
         from rankaae_tpu.models.recalibrate import recalibrate_batch_stats
+    if cfg.amp_recalibrate:
+        # one-scalar deployment gain per bundle (net-new, opt-in): the flex
+        # recon objective leaves a coherent output-amplitude drift
+        # unconstrained; InferenceModel divides decoder outputs by the
+        # manifest's amp_gain (models/recalibrate.py:amplitude_gain)
+        from rankaae_tpu.models.recalibrate import amplitude_gain
 
     for i in range(results.n_trials):
         job_dir = os.path.join(work_dir, "training", f"job_{i+1}")
@@ -158,6 +164,10 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
         final_extra = {"final_metrics": [float(x) for x in tr["final_metrics"]]}
         if lr_scales is not None:
             final_extra["lr_scale"] = float(lr_scales[i])
+        if cfg.amp_recalibrate:
+            final_extra["amp_gain"] = amplitude_gain(
+                cfg, tr["final_params"], tr["final_batch_stats"],
+                data.train_spec)
         save_model_bundle(
             os.path.join(job_dir, "final.mpk"),
             tr["final_params"], tr["final_batch_stats"], cfg,
@@ -168,6 +178,10 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
         best_extra = {"best_epoch": tr["best_epoch"], "best_combined": tr["best_combined"]}
         if lr_scales is not None:
             best_extra["lr_scale"] = float(lr_scales[i])
+        if cfg.amp_recalibrate:
+            best_extra["amp_gain"] = amplitude_gain(
+                cfg, tr["best_params"], tr["best_batch_stats"],
+                data.train_spec)
         save_model_bundle(
             os.path.join(job_dir, "best_tracked.mpk"),
             tr["best_params"], tr["best_batch_stats"], cfg, extra=best_extra,
@@ -180,6 +194,10 @@ def train_from_config(work_dir: str, params: Parameters, seed: int = 0,
                        "best_recon_mse": tr["best_recon"]}
         if lr_scales is not None:
             recon_extra["lr_scale"] = float(lr_scales[i])
+        if cfg.amp_recalibrate:
+            recon_extra["amp_gain"] = amplitude_gain(
+                cfg, tr["best_recon_params"], tr["best_recon_batch_stats"],
+                data.train_spec)
         save_model_bundle(
             os.path.join(job_dir, "best_recon.mpk"),
             tr["best_recon_params"], tr["best_recon_batch_stats"], cfg,

@@ -47,13 +47,17 @@ def _appliers(cfg: TrainConfig):
     discriminator = build_discriminator(cfg)
     return {
         "enc": _eval_f32(lambda v, x: encoder.apply(v, x, train=False)),
-        "dec": _eval_f32(lambda v, z: decoder.apply(v, z, train=False)),
+        # `g` is the deployment amplitude gain (amp_recalibrate /
+        # manifest `amp_gain`); the division fuses into the decoder's
+        # final elementwise ops, so the g == 1 common case costs nothing
+        # measurable and no applier recompiles when the gain changes.
+        "dec": _eval_f32(lambda v, z, g: decoder.apply(v, z, train=False) / g),
         "dis": _eval_f32(lambda v, z: discriminator.apply(v, z, None, train=False)),
         # fused encode->decode: one device dispatch per reconstruction batch
         # (the serving pipeline's hot path — halves per-batch dispatches vs
         # chaining the two jitted calls)
-        "recon": _eval_f32(lambda vs, x: decoder.apply(
-            vs[1], encoder.apply(vs[0], x, train=False), train=False)),
+        "recon": _eval_f32(lambda vs, x, g: decoder.apply(
+            vs[1], encoder.apply(vs[0], x, train=False), train=False) / g),
     }
 
 
@@ -62,11 +66,16 @@ class InferenceModel:
     discriminator) triple."""
 
     def __init__(self, params: Dict[str, Any], batch_stats: Dict[str, Any],
-                 cfg: TrainConfig):
+                 cfg: TrainConfig, out_gain: float = 1.0):
         self.cfg = cfg
         self.params = params
         self.batch_stats = batch_stats
         self.nstyle = cfg.nstyle
+        # deployment amplitude calibration (amp_recalibrate): decoder
+        # outputs are divided by this gain.  jnp scalar so it is a traced
+        # argument of the cached appliers, not a recompile trigger.
+        self.out_gain = float(out_gain)
+        self._gain = jnp.float32(self.out_gain)
         self._fns = _appliers(cfg)
 
     def _vars(self, role):
@@ -77,18 +86,20 @@ class InferenceModel:
 
     @classmethod
     def from_bundle(cls, path: str) -> "InferenceModel":
-        params, batch_stats, cfg, _ = load_model_bundle(path)
-        return cls(params, batch_stats, cfg)
+        params, batch_stats, cfg, extra = load_model_bundle(path)
+        return cls(params, batch_stats, cfg,
+                   out_gain=float(extra.get("amp_gain", 1.0)))
 
     # raw jnp-returning appliers (used by the batched serving path)
     def _encode(self, x):
         return self._fns["enc"](self._vars("enc"), x)
 
     def _decode(self, z):
-        return self._fns["dec"](self._vars("dec"), z)
+        return self._fns["dec"](self._vars("dec"), z, self._gain)
 
     def _reconstruct(self, x):
-        return self._fns["recon"]((self._vars("enc"), self._vars("dec")), x)
+        return self._fns["recon"]((self._vars("enc"), self._vars("dec")), x,
+                                  self._gain)
 
     def encode(self, spec) -> np.ndarray:
         return np.asarray(self._encode(jnp.asarray(spec, jnp.float32)))

@@ -135,6 +135,15 @@ class TrainConfig:
     # PARITY_RESULTS_CONV.md) — off by default for reference parity.
     bn_recalibrate: bool = False
 
+    # net-new: write a one-scalar deployment gain (median output/target
+    # amplitude ratio over the train split, models/recalibrate.py
+    # amplitude_gain) into every saved bundle's manifest as ``amp_gain``;
+    # InferenceModel divides decoder outputs by it.  Corrects the coherent
+    # amplitude drift the flex reconstruction objective leaves unconstrained
+    # (reference functions.py:99-105; measured data in
+    # PARITY_RESULTS_CONV.md) — off by default for reference parity.
+    amp_recalibrate: bool = False
+
     # net-new: matmul/conv precision ('highest' = true f32, parity-exact;
     # 'default' = fast TPU bf16 passes — required for the deep conv families
     # under memory-limited remote compilers, see README known-gaps).

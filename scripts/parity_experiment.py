@@ -132,7 +132,7 @@ def _experiment_config(epochs, ae_form="FC", precision=None, rng_impl=None,
     return base
 
 
-def _final_stats(encode, decode, val_spec, val_aux):
+def _final_stats(encode, decode, val_spec, val_aux, train_spec=None):
     from scipy.stats import shapiro, spearmanr
 
     z = encode(val_spec)
@@ -167,10 +167,21 @@ def _final_stats(encode, decode, val_spec, val_aux):
     # deployment-calibration payoff
     recon_mse_cal = float(np.mean(
         (out / (1.0 + scale_bias) - val_spec) ** 2))
+    res_extra = {}
+    if train_spec is not None:
+        # the amp_recalibrate deployment metric: gain measured on the TRAIN
+        # split (no val leakage), applied to the val reconstruction —
+        # exactly what InferenceModel does with the bundle's amp_gain
+        tout = decode(encode(train_spec))
+        tratio = np.abs(tout.mean(axis=1)) / np.abs(train_spec.mean(axis=1))
+        gain = float(np.clip(np.median(tratio), 0.5, 2.0))
+        res_extra["amp_gain_train"] = gain
+        res_extra["recon_mse_amp"] = float(np.mean((out / gain - val_spec) ** 2))
     return {
         "recon_mse": recon_mse,
         "recon_mse_flex": recon_mse_flex,
         "recon_mse_cal": recon_mse_cal,
+        **res_extra,
         "scale_err": scale_err,
         "scale_bias": scale_bias,
         "scale_spread": scale_spread,
@@ -637,8 +648,10 @@ def main():
             "seed": seed, "wall": wall, "epochs": args.epochs,
             "rows": args.rows, "overrides": args.overrides,
             "best_epoch": best_epoch,
-            "final": _final_stats(enc_r, dec_r, val_spec, val_aux),
-            "best": _final_stats(*best_pair, val_spec, val_aux)
+            "final": _final_stats(enc_r, dec_r, val_spec, val_aux,
+                                  train_spec=train_spec),
+            "best": _final_stats(*best_pair, val_spec, val_aux,
+                                 train_spec=train_spec)
             if best_pair else None,
             "train_recon_eval": _train_eval_recon(enc_r, dec_r),
         }
@@ -676,15 +689,18 @@ def main():
              enc_rc, dec_rc) in per_seed:
             rec["seeds"].append({
                 "best_epoch": best_epoch,
-                "final": _final_stats(enc, dec, val_spec, val_aux),
+                "final": _final_stats(enc, dec, val_spec, val_aux,
+                                      train_spec=train_spec),
                 # final params with recalibrated BN stats (bn_recalibrate path)
-                "final_recal": _final_stats(enc_rc, dec_rc, val_spec, val_aux),
+                "final_recal": _final_stats(enc_rc, dec_rc, val_spec, val_aux,
+                                            train_spec=train_spec),
                 "best": _final_stats(enc_b, dec_b, val_spec, val_aux),
                 # min-val-recon model (the use_best_checkpoint target) and
                 # the run's reconstruction floor, to separate convergence
                 # gaps from final-epoch fluctuation
                 "best_recon_epoch": best_recon_epoch,
-                "best_recon": _final_stats(enc_r, dec_r, val_spec, val_aux),
+                "best_recon": _final_stats(enc_r, dec_r, val_spec, val_aux,
+                                           train_spec=train_spec),
                 "val_recon_min": float(np.min(trace)),
                 "val_recon_min_epoch": int(np.argmin(trace)),
                 "val_recon_trace": [round(float(x), 6) for x in trace],

@@ -100,3 +100,61 @@ def test_recalibrated_eval_matches_trainmode(conv_data, ae_form):  # noqa: F811
                     jax.tree_util.tree_leaves(recal2)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_amplitude_gain_calibration(conv_data):  # noqa: F811
+    """amplitude_gain measures the median output/target amplitude ratio and
+    an InferenceModel built with that gain decodes at median ratio 1 —
+    the deployment correction for the flex objective's unconstrained
+    coherent gain drift (amp_recalibrate knob)."""
+    from rankaae_tpu.models.inference import InferenceModel
+    from rankaae_tpu.models.recalibrate import amplitude_gain
+
+    cfg = _tiny_cfg(ae_form="FC", dim_in=256, dim_out=256, max_epoch=2,
+                    batch_size=32, epoch_stop_smooth=2)
+    trainer = RankAAETrainer(cfg, 96, 32)
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    state, _ = jax.jit(trainer.run)(state, conv_data)
+    params = jax.tree_util.tree_map(np.asarray, state.params)
+    stats = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+
+    x = np.asarray(conv_data.train_spec)
+    base = InferenceModel(params, stats, cfg)
+    raw_ratio = np.abs(base.decode(base.encode(x)).mean(axis=1)) / np.abs(
+        x.mean(axis=1))
+    g = amplitude_gain(cfg, params, stats, conv_data.train_spec)
+    assert 0.5 <= g <= 2.0
+    want = float(np.clip(np.median(raw_ratio), 0.5, 2.0))
+    np.testing.assert_allclose(g, want, rtol=1e-5)
+
+    # out_gain divides decoder outputs exactly
+    cal = InferenceModel(params, stats, cfg, out_gain=g)
+    z = base.encode(x)
+    np.testing.assert_allclose(cal.decode(z), base.decode(z) / g,
+                               rtol=1e-5, atol=1e-7)
+    if 0.5 < float(np.median(raw_ratio)) < 2.0:  # unclipped: exact property
+        cal_ratio = np.abs(cal.decode(cal.encode(x)).mean(axis=1)) / np.abs(
+            x.mean(axis=1))
+        assert abs(float(np.median(cal_ratio)) - 1.0) < 1e-4
+
+
+def test_amp_gain_bundle_roundtrip(conv_data, tmp_path):  # noqa: F811
+    """from_bundle picks up the manifest's amp_gain (the amp_recalibrate
+    deployment path used by report/serve)."""
+    from rankaae_tpu.models.inference import InferenceModel
+    from rankaae_tpu.utils.checkpoint import save_model_bundle
+
+    cfg = _tiny_cfg(ae_form="FC", dim_in=256, dim_out=256, max_epoch=1,
+                    batch_size=32, epoch_stop_smooth=1)
+    trainer = RankAAETrainer(cfg, 96, 32)
+    state = trainer.init_state(jax.random.PRNGKey(2))
+    params = jax.tree_util.tree_map(np.asarray, state.params)
+    stats = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    path = str(tmp_path / "final.mpk")
+    save_model_bundle(path, params, stats, cfg, extra={"amp_gain": 2.0})
+    loaded = InferenceModel.from_bundle(path)
+    assert loaded.out_gain == 2.0
+    plain = InferenceModel(params, stats, cfg)
+    z = np.zeros((4, cfg.nstyle), np.float32)
+    np.testing.assert_allclose(loaded.decode(z), plain.decode(z) / 2.0,
+                               rtol=1e-6, atol=1e-8)
