@@ -37,20 +37,23 @@ def nll_loss(log_probs, targets):
     return -jnp.mean(jnp.take_along_axis(log_probs, targets[:, None], axis=1))
 
 
-def recon_loss(spec_in, spec_out, scale: bool = False):
+def recon_loss(spec_in, spec_out, scale: bool = False, scale_weight: float = 0.1):
     """Reconstruction loss (reference ``functions.py:81-107``).
 
     ``scale=True`` is the "flex spectra target" (``use_flex_spec_target``):
-    a per-spectrum amplitude ratio is learned toward 1 with a 0.1-weighted
-    penalty, then detached, clamped to [0.7, 1.3], and used to rescale the
-    target before the MSE.
+    a per-spectrum amplitude ratio is learned toward 1 with a
+    ``scale_weight``-weighted penalty (reference hardcodes 0.1,
+    ``functions.py:101``), then detached, clamped to [0.7, 1.3], and used to
+    rescale the target before the MSE.  ``scale_weight`` > 0.1 anchors the
+    output amplitude harder against the drift mode the reference objective
+    leaves weakly constrained (``TrainConfig.flex_scale_weight``).
     """
     spec_in = jnp.asarray(spec_in, jnp.float32)
     spec_out = jnp.asarray(spec_out, jnp.float32)
     if not scale:
         return mse(spec_out, spec_in)
     spec_scale = jnp.abs(jnp.mean(spec_out, axis=1)) / jnp.abs(jnp.mean(spec_in, axis=1))
-    loss = jnp.mean(jnp.square(spec_scale - 1.0)) * 0.1
+    loss = jnp.mean(jnp.square(spec_scale - 1.0)) * scale_weight
     clamped = jnp.clip(jax.lax.stop_gradient(spec_scale), 0.7, 1.3)
     loss += mse(spec_out, spec_in * clamped[:, None])
     return loss

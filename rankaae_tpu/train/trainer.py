@@ -412,7 +412,8 @@ class RankAAETrainer:
             styles, enc_stats = enc_fwd(sub["enc"], stats, spec_in, keys[9])
             s2 = {**stats, "enc": enc_stats}
             spec_out, dec_stats = dec_fwd(sub["dec"], s2, styles, keys[10])
-            loss = recon_loss(spec_in, spec_out, scale=cfg.use_flex_spec_target)
+            loss = recon_loss(spec_in, spec_out, scale=cfg.use_flex_spec_target,
+                              scale_weight=cfg.flex_scale_weight)
             return loss, {**s2, "dec": dec_stats}
 
         recon_loss_v, params, stats, opt_r = self._opt_step(

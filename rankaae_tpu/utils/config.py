@@ -117,6 +117,16 @@ class TrainConfig:
     # default 500 mirrors the reference fallback (``trainer.py:59``)
     epoch_stop_smooth: int = 500
 
+    # net-new: weight of the flex-target amplitude penalty
+    # ``mean((scale-1)^2) * flex_scale_weight`` inside ``recon_loss`` when
+    # ``use_flex_spec_target`` is on.  0.1 = faithful reference value
+    # (functions.py:101).  The reference objective anchors output amplitude
+    # only through this term, so trained conv models on both stacks can
+    # drift to a coherent gain far from 1 (PARITY_RESULTS_CONV.md); larger
+    # values anchor the amplitude harder.  No effect without
+    # ``use_flex_spec_target``.
+    flex_scale_weight: float = 0.1
+
     # net-new: metric driving the RECONSTRUCTION optimizer's plateau
     # scheduler.  "combined" = faithful reference behavior (all 7 schedulers
     # step on the combined metric, reference trainer.py:303-304) — which can
@@ -253,6 +263,10 @@ class TrainConfig:
         if not (1 <= int(self.scan_unroll) <= 16):
             raise ValueError(
                 f"scan_unroll must be in [1, 16], got {self.scan_unroll}"
+            )
+        if not (float(self.flex_scale_weight) >= 0.0):
+            raise ValueError(
+                f"flex_scale_weight must be >= 0, got {self.flex_scale_weight}"
             )
         if self.sch_recon_metric not in ("combined", "val_recon"):
             raise ValueError(

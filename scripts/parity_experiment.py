@@ -225,7 +225,7 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
 
     ref_cfg = {k: v for k, v in cfg_dict.items()
                if k not in ("matmul_precision", "rng_impl", "activation_dtype",
-                            "sch_recon_metric")}
+                            "sch_recon_metric", "flex_scale_weight")}
     t0 = time.time()
     if ref_cfg.get("ae_form", "FC") == "FC":
         trainer = RefTrainer.from_data(
@@ -677,9 +677,15 @@ def main():
                                   sch_recon_metric=args.sch_recon_metric)
     import ast
 
+    from rankaae_tpu.utils.config import TrainConfig as _TC
+
     for kv in args.overrides:
         key, _, raw = kv.partition("=")
-        if key not in cfg_dict:
+        # accept any key of the experiment config OR any TrainConfig field
+        # (net-new rankaae-only knobs like flex_scale_weight are valid
+        # overrides even though the FC base dict omits them; the reference
+        # side strips the rankaae-only ones before building RefParameters)
+        if key not in cfg_dict and key not in _TC.__dataclass_fields__:
             raise SystemExit(f"--set {key}: unknown config key")
         try:
             cfg_dict[key] = ast.literal_eval(raw)

@@ -176,3 +176,33 @@ def test_min_style_shapiro(rng):
     ours = float(min_style_shapiro(jnp.asarray(styles)))
     theirs = min(sstats.shapiro(styles[:, i]).statistic for i in range(6))
     np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+def test_recon_loss_flex_scale_weight_knob(rng):
+    """Net-new flex_scale_weight (TrainConfig): reweights ONLY the amplitude
+    penalty term; default 0.1 is the faithful reference constant
+    (functions.py:101)."""
+    spec_in = np.abs(rng.normal(size=(16, 256))).astype(np.float32) + 0.1
+    spec_out = np.abs(rng.normal(size=(16, 256))).astype(np.float32) + 0.1
+    si, so = jnp.asarray(spec_in), jnp.asarray(spec_out)
+
+    base = float(recon_loss(si, so, scale=True))
+    default = float(recon_loss(si, so, scale=True, scale_weight=0.1))
+    np.testing.assert_allclose(base, default, rtol=0)
+
+    # loss(w) is affine in w: loss(w) = mse_term + w * penalty
+    l0 = float(recon_loss(si, so, scale=True, scale_weight=0.0))
+    l1 = float(recon_loss(si, so, scale=True, scale_weight=1.0))
+    penalty = l1 - l0
+    assert penalty > 0
+    np.testing.assert_allclose(base, l0 + 0.1 * penalty, rtol=1e-5)
+
+
+def test_flex_scale_weight_config_validation():
+    from rankaae_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig()
+    assert cfg.flex_scale_weight == 0.1  # faithful default
+    cfg.replace(flex_scale_weight=1.0)   # validates
+    with pytest.raises(ValueError):
+        cfg.replace(flex_scale_weight=-0.5)
