@@ -8,11 +8,19 @@ describe the trained model's activations.
 
 Why this exists: the trained models' BN running stats are an EMA over
 mini-batch statistics whose inputs moved all through training (the 7-optimizer
-protocol updates parameters five times per batch).  On the conv forms some
-seeds end in a regime where that EMA is a poor summary — their train-mode
-reconstruction is converged (~3e-3) while eval-mode validation reconstruction
-sits 3-4x higher (artifacts/parity_conv_compact_traces2, PARITY_RESULTS_CONV.md).
-One recalibration pass removes exactly that gap.
+protocol updates parameters five times per batch), so eval-mode forwards can
+in principle normalize with stale statistics.
+
+Measured outcome (amp-instrumented n=16 compact study,
+artifacts/parity_conv_compact_amp, PARITY_RESULTS_CONV.md): on those runs the
+staleness hypothesis is REFUTED — eval-mode train-split recon matches val
+recon per seed (no train/eval mismatch), the elevated-recon seeds are
+explained by a coherent output AMPLITUDE drift the flex objective leaves
+unconstrained, and this recalibration slightly *raises* their val MSE
+(the stale EMA was partially masking the drift; fresh statistics expose it).
+For that failure mode use ``amp_recalibrate`` (one-scalar deployment gain)
+instead.  ``bn_recalibrate`` remains the right tool when a genuine
+train/eval-mode reconstruction gap is observed.
 
 Mechanics: our ``BatchNorm`` (models/primitives.py) updates running stats as
 ``new = (1-m)*old + m*batch`` with torch momentum ``m=0.1`` and unbiased batch

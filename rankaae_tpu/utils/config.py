@@ -140,9 +140,11 @@ class TrainConfig:
 
     # net-new: recalibrate BatchNorm running statistics with one full-train
     # train-mode pass before saving each model bundle (SWA-style update_bn,
-    # models/recalibrate.py).  Removes the eval-mode/train-mode mismatch some
-    # conv seeds end training in (eval recon 3-4x worse than train-mode;
-    # PARITY_RESULTS_CONV.md) — off by default for reference parity.
+    # models/recalibrate.py).  Use when a genuine eval-mode/train-mode
+    # reconstruction gap is observed; NOT a fix for the conv amplitude-drift
+    # seeds (measured to slightly worsen them — see models/recalibrate.py
+    # and PARITY_RESULTS_CONV.md; use amp_recalibrate for drift).  Off by
+    # default for reference parity.
     bn_recalibrate: bool = False
 
     # net-new: write a one-scalar deployment gain (median output/target
