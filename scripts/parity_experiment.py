@@ -317,10 +317,19 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
         best.get("metrics_trace", [])
 
 
-def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1):
+def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1,
+             segment_epochs=None):
     """Train ``n_seeds`` independent-RNG trials as ONE vmapped program (the
     production multi-trial strategy) and return per-seed (metrics, encode,
-    decode)."""
+    decode).
+
+    ``segment_epochs``: split the run into equal-length epoch segments
+    dispatched as separate device calls (same compiled program; the epoch
+    INDICES are an input array, so the trajectory is bit-identical to one
+    dispatch — ``trainer.run`` is itself ``run_epochs(arange(max_epoch))``).
+    Needed on the axon tunnel, which kills single blocking operations
+    longer than ~15 min: a 1500-epoch conv-form run must go up in
+    <=300-epoch segments."""
     import jax
 
     if platform:
@@ -344,9 +353,28 @@ def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1):
     keys = jax.random.split(jax.random.PRNGKey(0), n_seeds)
     states = jax.jit(jax.vmap(trainer.init_state))(keys)
     t0 = time.time()
-    states, logs = jax.jit(jax.vmap(trainer.run, in_axes=(0, None)))(states, data)
-    # np.asarray: block_until_ready does not reliably block on axon
-    np.asarray(logs["combined"])
+    if segment_epochs and segment_epochs < cfg.max_epoch:
+        if cfg.max_epoch % segment_epochs:
+            raise SystemExit("--segment-epochs must divide --epochs "
+                             "(equal segments reuse one compiled program)")
+        run_seg = jax.jit(jax.vmap(
+            lambda st, ep: trainer.run_epochs(st, data, ep),
+            in_axes=(0, None)))
+        log_chunks = []
+        for lo in range(0, cfg.max_epoch, segment_epochs):
+            states, logs_c = run_seg(
+                states, jnp.arange(lo, lo + segment_epochs))
+            # force completion per segment: keeps each blocking device
+            # call under the axon tunnel's long-operation kill window
+            np.asarray(logs_c["combined"])
+            log_chunks.append(logs_c)
+        logs = {k: jnp.concatenate([c[k] for c in log_chunks], axis=1)
+                for k in log_chunks[0]}
+    else:
+        states, logs = jax.jit(jax.vmap(trainer.run, in_axes=(0, None)))(
+            states, data)
+        # np.asarray: block_until_ready does not reliably block on axon
+        np.asarray(logs["combined"])
     wall = time.time() - t0
 
     recon_traces = np.asarray(logs["val_recon"])  # (S, E)
@@ -657,6 +685,12 @@ def main():
                     help="mode=ref: which torch seed to train")
     ap.add_argument("--json-dir", default="/tmp/parity_json",
                     help="per-seed JSON store for ref/ours/aggregate modes")
+    ap.add_argument("--segment-epochs", type=int, default=None,
+                    help="mode=ours: dispatch the run as equal epoch "
+                         "segments (bit-identical trajectory; required on "
+                         "the axon tunnel for runs whose single dispatch "
+                         "would exceed ~15 min, e.g. conv forms x 1500 "
+                         "epochs). Must divide --epochs.")
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                     dest="overrides",
                     help="config override applied to BOTH stacks (repeatable), "
@@ -749,9 +783,9 @@ def main():
     if args.mode == "ours":
         os.makedirs(args.json_dir, exist_ok=True)
         print(f"ours: training {args.seeds} seeds x {args.epochs} epochs ...")
-        per_seed, ours_wall, comp_traces = run_ours(workdir, cfg_dict, csv_path,
-                                                    platform=args.platform,
-                                                    n_seeds=args.seeds)
+        per_seed, ours_wall, comp_traces = run_ours(
+            workdir, cfg_dict, csv_path, platform=args.platform,
+            n_seeds=args.seeds, segment_epochs=args.segment_epochs)
         rec = {"wall": ours_wall, "epochs": args.epochs, "rows": args.rows,
                "overrides": args.overrides, "seeds": []}
         for (m, enc, dec, enc_b, dec_b, best_epoch,
