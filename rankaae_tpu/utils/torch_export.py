@@ -35,15 +35,24 @@ def _reference_model_module(sc_path: str):
                     del sys.modules[name]
 
     _evict(lambda f: sc_path not in f)        # drop the shim (or stale) sc
-    inserted = sc_path not in sys.path
-    if inserted:
-        sys.path.insert(0, sc_path)
+    # force sc_path AHEAD of any repo entry: being merely *present* on the
+    # path is not enough — a later sys.path.insert(0, <repo>) elsewhere
+    # would make the fresh ``import sc`` below cache the repo shim and the
+    # pickled checkpoint would carry shim classes
+    prior_index = sys.path.index(sc_path) if sc_path in sys.path else None
+    if prior_index is not None:
+        sys.path.remove(sc_path)
+    sys.path.insert(0, sc_path)
     try:
-        yield importlib.import_module("sc.clustering.model")
+        mod = importlib.import_module("sc.clustering.model")
+        assert sc_path in (getattr(mod, "__file__", "") or ""), (
+            f"reference sc resolution failed: got {mod.__file__}")
+        yield mod
     finally:
         _evict(lambda f: sc_path in f)        # drop the reference sc again
-        if inserted and sc_path in sys.path:
-            sys.path.remove(sc_path)
+        sys.path.remove(sc_path)
+        if prior_index is not None:
+            sys.path.insert(min(prior_index, len(sys.path)), sc_path)
 
 
 def _copy(dst_tensor, arr: np.ndarray) -> None:

@@ -209,8 +209,12 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
             mod = sys.modules[name]
             if "/root/repo" in (getattr(mod, "__file__", "") or ""):
                 del sys.modules[name]
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    # force /root/reference AHEAD of /root/repo (this module prepends REPO
+    # at import, so mere presence is not priority — see
+    # tests/conftest.py:import_reference_sc for the failure this causes)
+    if "/root/reference" in sys.path:
+        sys.path.remove("/root/reference")
+    sys.path.insert(0, "/root/reference")
     import torch
 
     torch.manual_seed(seed)

@@ -54,6 +54,16 @@ def import_reference_sc():
             file = getattr(mod, "__file__", "") or ""
             if "/root/repo" in file:
                 del sys.modules[name]
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
-    return importlib.import_module("sc")
+    # FORCE /root/reference ahead of any /root/repo entry: other imports
+    # (e.g. scripts/parity_experiment.py) prepend /root/repo after a prior
+    # call put /root/reference on the path, and a fresh ``import sc`` would
+    # then cache the repo SHIM as the parent package — making pickle
+    # resolve ``sc.clustering.model.*`` to the shim's re-exported flax
+    # classes (observed: polluted torch_export round-trips).
+    if "/root/reference" in sys.path:
+        sys.path.remove("/root/reference")
+    sys.path.insert(0, "/root/reference")
+    mod = importlib.import_module("sc")
+    assert "/root/reference" in (getattr(mod, "__file__", "") or ""), (
+        f"import_reference_sc resolved the wrong sc package: {mod.__file__}")
+    return mod
