@@ -42,12 +42,37 @@ V5E_PEAK_FLOPS = 197e12
 V5E_MEASURED_BF16 = 90e12
 
 
-def _analytic_padded_flops_per_sample(cfg, grl: bool, smooth: bool) -> float:
+def _pass_counts(grl: bool, smooth: bool, protocol: str):
+    """(enc, dec, dis) forward-equivalent pass counts per batch.
+
+    faithful: trainer._train_batch — 7 encoder forwards (4 with backward),
+    4 decoder forwards (3 with backward), one 2B discriminator fwd+bwd.
+    fused: trainer._train_batch_fused — 2 encoder / 2 decoder forwards
+    (spec path + MI latent cycle) and one VJP pullback per loss (backward
+    ~ 2x forward; the smoothness pullback only runs while smooth is on)."""
+    if protocol == "joint":
+        # 2 enc / 2 dec forwards (spec path + MI cycle), ONE backward
+        enc_passes = 2 + 2 * 2
+        dec_passes = 2 + 2 * 2
+        dis_passes = 2 * (1 + 2)
+    elif protocol == "fused":
+        enc_passes = 2 + 2 * (5 if smooth else 4)
+        dec_passes = 2 + 2 * (3 if smooth else 2)
+        dis_passes = 2 * (1 + 2) if grl else 3 * (1 + 2)
+    else:
+        enc_passes = 7 + 2 * 4
+        dec_passes = (4 if smooth else 3) + 2 * (3 if smooth else 2)
+        dis_passes = 2 * (1 + 2) if grl else 3 * (1 + 2)
+    return enc_passes, dec_passes, dis_passes
+
+
+def _analytic_padded_flops_per_sample(cfg, grl: bool, smooth: bool,
+                                      protocol: str = "faithful") -> float:
     """MXU TILE-PADDED matmul FLOPs per training sample — the achievable
     ceiling for this model's shapes: the 128x128 systolic array processes
     every (K, N) rounded up to full tiles (N=6 style heads cost as much as
-    N=128), M streams through.  Pass counts follow trainer._train_batch,
-    exactly as in :func:`_analytic_flops_per_sample`."""
+    N=128), M streams through.  Pass counts follow the protocol's batch
+    step, exactly as in :func:`_analytic_flops_per_sample`."""
     pad = lambda d: -(-d // 128) * 128
     h = 64   # FC hidden size (models/encoders.py:28)
     enc = [(cfg.dim_in, h)] + [(h, h)] * (cfg.n_layers - 2) + [(h, cfg.nstyle)]
@@ -55,14 +80,13 @@ def _analytic_padded_flops_per_sample(cfg, grl: bool, smooth: bool) -> float:
     dis = [(cfg.nstyle, h)] + \
         [(h, h)] * (cfg.FC_discriminator_layers - 1) + [(h, 1)]
     per = lambda dims: sum(2.0 * pad(k) * pad(n) for k, n in dims)
-    enc_passes = 7 + 2 * 4
-    dec_passes = (4 if smooth else 3) + 2 * (3 if smooth else 2)
-    dis_passes = 2 * (1 + 2) if grl else 3 * (1 + 2)
+    enc_passes, dec_passes, dis_passes = _pass_counts(grl, smooth, protocol)
     return (per(enc) * enc_passes + per(dec) * dec_passes
             + per(dis) * dis_passes)
 
 
-def _roofline(compiled, wall, epochs, n_train, cfg, grl, smooth, trials):
+def _roofline(compiled, wall, epochs, n_train, cfg, grl, smooth, trials,
+              protocol="faithful"):
     """Speed-of-light accounting for the measured program.
 
     The binding bound at this model size is the TILE-PADDED MXU time at
@@ -84,7 +108,8 @@ def _roofline(compiled, wall, epochs, n_train, cfg, grl, smooth, trials):
     n_full = n_train // cfg.batch_size   # trailing partial batch unrolled
     ops_per_epoch = counts["epoch_body_ops"] + n_full * counts["batch_body_ops"]
 
-    padded_fps = _analytic_padded_flops_per_sample(cfg, grl, smooth)
+    padded_fps = _analytic_padded_flops_per_sample(cfg, grl, smooth,
+                                                   protocol=protocol)
     total_padded = padded_fps * trials * n_train * epochs
     mxu_padded_bound_s = total_padded / V5E_MEASURED_BF16
 
@@ -130,15 +155,14 @@ def _fallback_cfg(epochs, trials):
     )
 
 
-def _analytic_flops_per_sample(params, n_trials, grl: bool, smooth: bool):
+def _analytic_flops_per_sample(params, n_trials, grl: bool, smooth: bool,
+                               protocol: str = "faithful"):
     """Matmul FLOPs per training sample of the per-batch protocol.
 
     XLA's ``cost_analysis`` counts each ``lax.scan`` body ONCE, so it
     underreports a scan-of-scans training program by epochs x batches; this
     counts passes analytically instead.  Backward ~ 2x forward; pass counts
-    follow trainer._train_batch: GRL path runs 7 encoder forwards (4 with
-    backward), 4 decoder forwards (3 with backward), and one 2B-row
-    discriminator forward+backward per batch."""
+    per protocol in :func:`_pass_counts`."""
     import jax
 
     count = lambda t: sum(int(np.prod(x.shape))
@@ -146,16 +170,14 @@ def _analytic_flops_per_sample(params, n_trials, grl: bool, smooth: bool):
     p_enc = count(params["enc"]) // n_trials
     p_dec = count(params["dec"]) // n_trials
     p_dis = count(params["dis"]) // n_trials
-    enc_passes = 7 + 2 * 4
-    dec_passes = (4 if smooth else 3) + 2 * (3 if smooth else 2)
-    dis_passes = 2 * (1 + 2) if grl else 3 * (1 + 2)
+    enc_passes, dec_passes, dis_passes = _pass_counts(grl, smooth, protocol)
     return 2.0 * (p_enc * enc_passes + p_dec * dec_passes + p_dis * dis_passes)
 
 
 def bench(form: str, trials: int, epochs: int, n_rows: int,
           precision: str = None, rng_impl: str = "rbg",
           act_dtype: str = "float32", remat: bool = False,
-          scan_unroll: int = 1):
+          scan_unroll: int = 1, protocol: str = "faithful"):
     import jax
     import jax.numpy as jnp
 
@@ -178,7 +200,8 @@ def bench(form: str, trials: int, epochs: int, n_rows: int,
     if precision is not None:
         cfg = cfg.replace(matmul_precision=precision)
     cfg = cfg.replace(rng_impl=rng_impl, activation_dtype=act_dtype,
-                      remat=remat, scan_unroll=scan_unroll)
+                      remat=remat, scan_unroll=scan_unroll,
+                      protocol=protocol)
     if scan_unroll > 1 and jax.devices()[0].platform == "tpu":
         # measured round 4: unroll=2 at flagship scale compiled for 41 min
         # and then killed the remote compile helper (same failure mode as
@@ -236,6 +259,8 @@ def bench(form: str, trials: int, epochs: int, n_rows: int,
     baseline = 4900 * 1500 / 2947.0  # reference GPU fixture throughput
 
     suffix = "" if form == "FC" else f"_{form}"
+    if protocol != "faithful":
+        suffix += f"_{protocol}"
     result = {
         "metric": f"spectra_per_sec_per_chip_training{suffix}",
         "value": round(float(spectra_per_sec), 1),
@@ -255,7 +280,7 @@ def bench(form: str, trials: int, epochs: int, n_rows: int,
         # the flagship FC form only
         fps = _analytic_flops_per_sample(
             out_states.params, trials, grl=cfg.gradient_reversal,
-            smooth=epochs <= cfg.epoch_stop_smooth,
+            smooth=epochs <= cfg.epoch_stop_smooth, protocol=protocol,
         )
         flops_per_sec = fps * spectra_per_sec
         result["flops_per_sec"] = round(flops_per_sec, 1)
@@ -271,7 +296,7 @@ def bench(form: str, trials: int, epochs: int, n_rows: int,
         result.update(_roofline(
             compiled, wall, epochs, n_train, cfg,
             grl=cfg.gradient_reversal, smooth=epochs <= cfg.epoch_stop_smooth,
-            trials=trials))
+            trials=trials, protocol=protocol))
         print(
             f"roofline: tile-padded MXU bound "
             f"{result['mxu_padded_bound_s']}s at the measured "
@@ -325,6 +350,11 @@ def main():
     # activations in the backward for peak-memory headroom — the lever for
     # high resident-trial counts on the deep "normal" form
     ap.add_argument("--remat", action="store_true")
+    # per-batch optimization protocol: "faithful" = the reference's
+    # sequential 5-pass sweep; "fused" = one shared forward + joint updates
+    # (net-new fast path, quality-gated in PARITY_FUSED.md)
+    ap.add_argument("--protocol", default="faithful",
+                    choices=["faithful", "fused", "joint"])
     # lax.scan unroll over the per-epoch batch loop (numerics-neutral;
     # lets XLA overlap independent chains across batch steps)
     ap.add_argument("--unroll", type=int, default=1)
@@ -333,7 +363,7 @@ def main():
         32 if args.form == "FC" else 8)
     bench(args.form, trials, args.epochs, args.rows,
           precision=args.precision, rng_impl=args.rng, act_dtype=args.act,
-          remat=args.remat, scan_unroll=args.unroll)
+          remat=args.remat, scan_unroll=args.unroll, protocol=args.protocol)
 
 
 if __name__ == "__main__":

@@ -20,11 +20,18 @@ def grad_reverse(x, beta):
 
 
 def _fwd(x, beta):
-    return x, beta
+    # zero-size carrier records the primal dtype (a raw dtype object is not
+    # a valid residual)
+    return x, (beta, jnp.zeros((0,), x.dtype))
 
 
-def _bwd(beta, g):
-    return (-g * beta, jnp.zeros_like(beta))
+def _bwd(res, g):
+    beta, x_proto = res
+    # keep the cotangent in the primal's dtype: ``-g * beta`` promotes a
+    # bf16 activation cotangent to f32 (beta is an f32 scalar), which breaks
+    # cotangent fan-in when the styles tensor feeds multiple losses (the
+    # fused protocol) under activation_dtype=bfloat16
+    return ((-g * beta).astype(x_proto.dtype), jnp.zeros_like(beta))
 
 
 grad_reverse.defvjp(_fwd, _bwd)

@@ -200,7 +200,9 @@ def _kendall_bwd(activate, res, g):
     d_bk, d_t, s_bk, s_t, b, k = _prepare(descriptors, styles)
     norm = (b * b - b) * k
     rows = _grad_rows_pallas(b, d_bk, d_t, s_bk, s_t, w)[:b]   # (B, K)
-    grad_styles = rows * (-2.0 * g / norm)
+    # cotangent in the primal's dtype (styles may be bf16 under
+    # activation_dtype=bfloat16; the kernel computes f32 internally)
+    grad_styles = (rows * (-2.0 * g / norm)).astype(styles.dtype)
     return jnp.zeros_like(descriptors), grad_styles
 
 

@@ -159,6 +159,37 @@ def make_adabound(
     return Optimizer(moment_init, update)
 
 
+def flat_optimizer(inner: Optimizer) -> Optimizer:
+    """Run ``inner`` over ONE raveled parameter vector instead of per-leaf.
+
+    The training program executes its optimizer arithmetic once per tree
+    leaf (~10 ops x ~150 leaf-updates per batch across the 7 optimizers);
+    on TPU those tiny ops cost per-op issue/pipeline overhead, not FLOPs —
+    measured as the dominant share of the batch-step op count
+    (PERF_NOTES_r05.md).  Raveling the subset collapses each optimizer's
+    update to ~10 vector ops + cheap slices XLA fuses into the consumers.
+
+    Numerically IDENTICAL to the per-leaf form: every optimizer step here
+    is elementwise, and concatenation does not change values.  Moment
+    states become single vectors (mid-run ``trial_state.mpk`` checkpoints
+    are structure-incompatible across the knob; saved model bundles carry
+    no optimizer state and are unaffected).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return inner.init(flat)
+
+    def update(grads, state, params, lr):
+        gflat, _ = ravel_pytree(grads)
+        pflat, unravel = ravel_pytree(params)
+        new_flat, new_state = inner.update(gflat, state, pflat, lr)
+        return unravel(new_flat), new_state
+
+    return Optimizer(init, update)
+
+
 OPTIMIZERS: Dict[str, Callable[..., Optimizer]] = {
     "Adam": make_adam,
     "AdamW": make_adamw,

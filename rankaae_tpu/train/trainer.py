@@ -170,6 +170,21 @@ class RankAAETrainer:
             self.opts[name] = make_optimizer(
                 cfg.optimizer_name, betas=betas, weight_decay=wd, **kw
             )
+        if cfg.protocol == "joint":
+            # one optimizer over ALL params; lr rides the reconstruction
+            # ratio (the per-loss ratios become loss weights, see
+            # _train_batch_joint)
+            kw = {}
+            if cfg.optimizer_name == "AdaBound":
+                kw["base_lr"] = cfg.lr_ratio_Reconn * cfg.lr_base
+            self.opts["joint"] = make_optimizer(
+                cfg.optimizer_name, betas=(0.9, 0.999),
+                weight_decay=cfg.weight_decay, **kw
+            )
+        if cfg.flat_optim:
+            from rankaae_tpu.optim.optimizers import flat_optimizer
+
+            self.opts = {k: flat_optimizer(v) for k, v in self.opts.items()}
 
     # ------------------------------------------------------------------ #
     # forwards
@@ -227,13 +242,23 @@ class RankAAETrainer:
         }
         opt = {}
         sched = {}
-        for name, (subset, ratio_attr, _, _) in OPT_SPECS.items():
-            sub = {k: params[k] for k in subset}
-            opt[name] = self.opts[name].init(sub)
-            sched[name] = plateau_init(getattr(cfg, ratio_attr) * cfg.lr_base)
+        if cfg.protocol == "joint":
+            # single optimizer/scheduler over all params; the carry skips
+            # the 7 per-loss moment states entirely
+            opt["joint"] = self.opts["joint"].init(params)
+            sched["joint"] = plateau_init(cfg.lr_ratio_Reconn * cfg.lr_base)
             if not isinstance(lr_scale, float) or lr_scale != 1.0:
-                sched[name] = sched[name]._replace(
-                    lr=sched[name].lr * jnp.asarray(lr_scale, jnp.float32))
+                sched["joint"] = sched["joint"]._replace(
+                    lr=sched["joint"].lr * jnp.asarray(lr_scale, jnp.float32))
+        else:
+            for name, (subset, ratio_attr, _, _) in OPT_SPECS.items():
+                sub = {k: params[k] for k in subset}
+                opt[name] = self.opts[name].init(sub)
+                sched[name] = plateau_init(
+                    getattr(cfg, ratio_attr) * cfg.lr_base)
+                if not isinstance(lr_scale, float) or lr_scale != 1.0:
+                    sched[name] = sched[name]._replace(
+                        lr=sched[name].lr * jnp.asarray(lr_scale, jnp.float32))
         hp = {k: jnp.asarray(getattr(cfg, k), jnp.float32)
               for k in SWEEPABLE_HPARAMS}
         if hparams:
@@ -282,6 +307,10 @@ class RankAAETrainer:
     # ------------------------------------------------------------------ #
 
     def _train_batch(self, state: TrainState, spec, aux, alpha, epoch, rng):
+        if self.cfg.protocol == "fused":
+            return self._train_batch_fused(state, spec, aux, alpha, epoch, rng)
+        if self.cfg.protocol == "joint":
+            return self._train_batch_joint(state, spec, aux, alpha, epoch, rng)
         cfg = self.cfg
         keys = jax.random.split(rng, 17)
         params, stats, opt, sched = state.params, state.batch_stats, state.opt, state.sched
@@ -483,6 +512,348 @@ class RankAAETrainer:
         return new_state, batch_losses
 
     # ------------------------------------------------------------------ #
+    # fused per-batch protocol (``protocol: fused``, net-new fast path)
+    # ------------------------------------------------------------------ #
+
+    def _train_batch_fused(self, state: TrainState, spec, aux, alpha, epoch,
+                           rng):
+        """One-shared-forward batch step.
+
+        The faithful protocol executes ~11 forward/backward graph passes per
+        batch (each loss re-encodes from scratch and steps its optimizer
+        before the next loss runs — reference ``trainer.py:103-204``), and
+        round-4 measurement pinned its throughput ceiling to exactly that
+        pass count (HBM/op-floor bound, PERF_NOTES_r04.md).  Here instead:
+
+        * every loss is computed from the SAME base parameters with the
+          SAME per-forward RNG keys, each via ``value_and_grad`` over its
+          reference optimizer subset only (``OPT_SPECS``) — the duplicated
+          forward subgraphs are structurally identical expressions, so XLA
+          CSE collapses them into ONE shared encode/decode (plus the MI
+          latent-cycle pair).  A one-hot-cotangent ``jax.vjp`` over stacked
+          losses was measured WORSE (14.4K ops/epoch vs faithful's 11.2K;
+          2.17 s vs 1.62 s on-chip): XLA cannot fold the zero-cotangent
+          backward paths away under NaN semantics, so every pullback
+          replayed the full 6-loss backward;
+        * all optimizer updates are computed from the base parameters and
+          applied jointly (Jacobi-style parallel sweep instead of the
+          reference's Gauss-Seidel sequential sweep) — the five backwards
+          and seven updates form independent dataflow XLA can overlap,
+          where the faithful protocol serializes them through the param
+          carry.
+
+        Deviations from the faithful protocol (all opt-in, quality-gated in
+        PARITY_FUSED.md): update order (joint vs sequential), single BN
+        running-stat update per module per batch (the reference updates ~6x
+        per batch including dead stats-only forwards), and a fresh RNG
+        stream layout.
+        """
+        cfg = self.cfg
+        keys = jax.random.split(rng, 9)
+        params, stats, opt, sched = (state.params, state.batch_stats,
+                                     state.opt, state.sched)
+
+        spec_in = spec + jax.random.normal(keys[0], spec.shape) * \
+            state.hparams["spec_noise"]
+        z_real = jax.random.normal(keys[1], (cfg.batch_size, cfg.nstyle))
+        # actual batch size, as in the faithful path (functions.py:185)
+        z_sample = jax.random.normal(keys[2], (spec.shape[0], cfg.nstyle))
+
+        def enc_fwd(p, es, x, k):
+            return self._fwd(self.encoder, p, es, x, train=True,
+                             rngs={"dropout": k})
+
+        def dec_fwd(p, ds, z, k):
+            return self._fwd(self.decoder, p, ds, z, train=True,
+                             rngs={"dropout": k})
+
+        def dis_fwd(p, dstats, x, beta, k):
+            return self._fwd(self.discriminator, p, dstats, x, beta,
+                             train=True,
+                             rngs={"dropout": k,
+                                   "noise": jax.random.fold_in(k, 7)})
+
+        # Every closure recomputes its forward dependency chain from the
+        # SAME base params/stats/keys — identical subexpressions that XLA
+        # CSE collapses into one shared forward.  ``full()`` rebuilds the
+        # {enc,dec,dis} view a closure needs from its diff'd subset.
+        def full(sub):
+            return {**params, **sub}
+
+        def adv_loss(sub):      # ("dis", "enc") — GRL path
+            p = full(sub)
+            styles, _ = enc_fwd(p["enc"], stats["enc"], spec_in, keys[3])
+            if cfg.use_cnn_discriminator:
+                rp, ds1 = dis_fwd(p["dis"], stats["dis"], z_real, alpha,
+                                  keys[5])
+                fp, _ = dis_fwd(p["dis"], ds1, styles, alpha, keys[6])
+                loss = nll_loss(rp, jnp.ones(rp.shape[0], jnp.int32)) + \
+                    nll_loss(fp, jnp.zeros(fp.shape[0], jnp.int32))
+            else:
+                both = jnp.concatenate(
+                    [z_real.astype(styles.dtype), styles], axis=0)
+                pred, _ = dis_fwd(p["dis"], stats["dis"], both, alpha,
+                                  keys[5])
+                rp1 = pred[: cfg.batch_size].squeeze(-1)
+                fp1 = pred[cfg.batch_size:].squeeze(-1)
+                loss = bce_with_logits(rp1, jnp.ones_like(rp1)) + \
+                    bce_with_logits(fp1, jnp.zeros_like(fp1))
+            return loss, None
+
+        def d_loss(sub):        # ("dis",) — non-GRL D step
+            p = full(sub)
+            styles, _ = enc_fwd(params["enc"], stats["enc"], spec_in,
+                                keys[3])
+            styles = jax.lax.stop_gradient(styles)
+            rp, ds1 = dis_fwd(p["dis"], stats["dis"], z_real, None, keys[5])
+            fp, _ = dis_fwd(p["dis"], ds1, styles, None, keys[6])
+            if cfg.use_cnn_discriminator:
+                loss = nll_loss(rp, jnp.ones(rp.shape[0], jnp.int32)) + \
+                    nll_loss(fp, jnp.zeros(fp.shape[0], jnp.int32))
+            else:
+                rp1, fp1 = rp.squeeze(-1), fp.squeeze(-1)
+                loss = bce_with_logits(rp1, jnp.ones_like(rp1)) + \
+                    bce_with_logits(fp1, jnp.zeros_like(fp1))
+            return loss, None
+
+        def g_loss(sub):        # ("enc",) — non-GRL G step
+            p = full(sub)
+            styles, _ = enc_fwd(p["enc"], stats["enc"], spec_in, keys[3])
+            gp, _ = dis_fwd(params["dis"], stats["dis"], styles, None,
+                            keys[7])
+            if cfg.use_cnn_discriminator:
+                loss = nll_loss(gp, jnp.ones(gp.shape[0], jnp.int32))
+            else:
+                gp1 = gp.squeeze(-1)
+                loss = bce_with_logits(gp1, jnp.ones_like(gp1))
+            return loss, None
+
+        def corr_loss(sub):     # ("enc",)
+            p = full(sub)
+            styles, _ = enc_fwd(p["enc"], stats["enc"], spec_in, keys[3])
+            loss = kendall_constraint(aux, styles[:, : cfg.n_aux],
+                                      activate=cfg.kendall_activation)
+            return loss, None
+
+        def rec_loss(sub):      # ("enc", "dec")
+            p = full(sub)
+            styles, _ = enc_fwd(p["enc"], stats["enc"], spec_in, keys[3])
+            spec_out, _ = dec_fwd(p["dec"], stats["dec"], styles, keys[4])
+            loss = recon_loss(spec_in, spec_out,
+                              scale=cfg.use_flex_spec_target,
+                              scale_weight=cfg.flex_scale_weight)
+            return loss, None
+
+        def mi_loss(sub):       # ("enc", "dec")
+            # train-mode BN normalizes by CURRENT batch statistics, so the
+            # running-stats input does not affect outputs — no need to
+            # thread the shared pass's stats through the closure
+            p = full(sub)
+            spec_gen, _ = dec_fwd(p["dec"], stats["dec"], z_sample, keys[8])
+            z_recon, _ = enc_fwd(p["enc"], stats["enc"], spec_gen,
+                                 jax.random.fold_in(keys[8], 1))
+            loss = mse(z_recon, z_sample)
+            return loss, None
+
+        def sm_loss(sub):       # ("dec",)
+            p = full(sub)
+            styles, _ = enc_fwd(params["enc"], stats["enc"], spec_in,
+                                keys[3])
+            spec_out, _ = dec_fwd(p["dec"], stats["dec"], styles, keys[4])
+            loss = smoothness_loss(spec_out, GAU_KERNEL_SIZE)
+            return loss, None
+
+        if cfg.gradient_reversal:
+            plan = [("adversarial", adv_loss)]
+        else:
+            plan = [("discriminator", d_loss), ("generator", g_loss)]
+        plan += [("correlation", corr_loss), ("reconstruction", rec_loss),
+                 ("mutual_info", mi_loss)]
+
+        add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+        sub_delta = lambda n, b: jax.tree_util.tree_map(
+            lambda x, y: x - y, n, b)
+        delta = jax.tree_util.tree_map(jnp.zeros_like, params)
+        new_opt = dict(opt)
+        loss_vals = {}
+        for name, loss_fn in plan:
+            subset = OPT_SPECS[name][0]
+            base_sub = {k: params[k] for k in subset}
+            (loss_v, _), g_sub = jax.value_and_grad(
+                loss_fn, has_aux=True)(base_sub)
+            loss_vals[name] = loss_v
+            new_sub, new_opt[name] = self.opts[name].update(
+                g_sub, opt[name], base_sub, sched[name].lr)
+            d_sub = sub_delta(new_sub, base_sub)
+            delta = {**delta,
+                     **{k: add(delta[k], d_sub[k]) for k in subset}}
+
+        # smoothness: decoder-only update until epoch_stop_smooth
+        # (reference trainer.py:188-200); moments freeze after the cutoff
+        def do_sm(opt_s):
+            base_sub = {"dec": params["dec"]}
+            (loss_v, _), g_sub = jax.value_and_grad(
+                sm_loss, has_aux=True)(base_sub)
+            new_sub, new_o = self.opts["smoothness"].update(
+                g_sub, opt_s, base_sub, sched["smoothness"].lr)
+            return loss_v, sub_delta(new_sub["dec"], base_sub["dec"]), new_o
+
+        def skip_sm(opt_s):
+            return jnp.float32(0.0), \
+                jax.tree_util.tree_map(jnp.zeros_like, params["dec"]), opt_s
+
+        sm_val, sm_delta, new_opt["smoothness"] = jax.lax.cond(
+            epoch < cfg.epoch_stop_smooth, do_sm, skip_sm, opt["smoothness"])
+        delta = {**delta, "dec": add(delta["dec"], sm_delta)}
+
+        # one coherent running-stats chain per batch: encoder sees the
+        # noisy batch then the MI-generated spectra, decoder sees the
+        # shared styles then the MI prior samples, discriminator its
+        # adversarial pass — forwards CSE with the loss closures above
+        styles_c, enc_s1 = enc_fwd(params["enc"], stats["enc"], spec_in,
+                                   keys[3])
+        _, dec_s1 = dec_fwd(params["dec"], stats["dec"], styles_c, keys[4])
+        spec_gen_c, dec_s2 = dec_fwd(params["dec"], dec_s1, z_sample,
+                                     keys[8])
+        _, enc_s2 = enc_fwd(params["enc"], enc_s1, spec_gen_c,
+                            jax.random.fold_in(keys[8], 1))
+        if cfg.gradient_reversal:
+            if cfg.use_cnn_discriminator:
+                _, ds1 = dis_fwd(params["dis"], stats["dis"], z_real, alpha,
+                                 keys[5])
+                _, dis_s = dis_fwd(params["dis"], ds1, styles_c, alpha,
+                                   keys[6])
+            else:
+                both_c = jnp.concatenate(
+                    [z_real.astype(styles_c.dtype), styles_c], axis=0)
+                _, dis_s = dis_fwd(params["dis"], stats["dis"], both_c,
+                                   alpha, keys[5])
+        else:
+            _, ds1 = dis_fwd(params["dis"], stats["dis"], z_real, None,
+                             keys[5])
+            _, ds2 = dis_fwd(params["dis"], ds1,
+                             jax.lax.stop_gradient(styles_c), None, keys[6])
+            _, dis_s = dis_fwd(params["dis"], ds2, styles_c, None, keys[7])
+        new_stats = {"enc": enc_s2, "dec": dec_s2, "dis": dis_s}
+
+        new_params = add(params, delta)
+        new_state = state._replace(params=new_params, batch_stats=new_stats,
+                                   opt=new_opt)
+        zero = jnp.float32(0.0)
+        batch_losses = {
+            "dis": loss_vals.get("adversarial",
+                                 loss_vals.get("discriminator", zero)),
+            "gen": loss_vals.get("generator", zero),
+            "aux": loss_vals["correlation"],
+            "recon": loss_vals["reconstruction"],
+            "smooth": sm_val,
+            "mi": loss_vals["mutual_info"],
+        }
+        return new_state, batch_losses
+
+    # ------------------------------------------------------------------ #
+    # joint per-batch protocol (``protocol: joint``, net-new fast path)
+    # ------------------------------------------------------------------ #
+
+    def _train_batch_joint(self, state: TrainState, spec, aux, alpha, epoch,
+                           rng):
+        """One-backward batch step: the classic multi-task formulation.
+
+        ``total = w_dis*adv + w_corr*kendall + recon + w_mi*MI +
+        w_smooth*smooth`` with weights = the reference's per-loss lr ratios
+        normalized to the reconstruction ratio, ONE ``value_and_grad`` over
+        all parameters, ONE optimizer (lr = ``lr_ratio_Reconn * lr_base``
+        under its own plateau scheduler).  The GRL inside the discriminator
+        realizes the adversarial minimax within the single backward — the
+        exact mechanism the reference already relies on
+        (``sc/clustering/model.py:8-22``).
+
+        Why it exists: round-5 on-chip measurement showed the 5-backward
+        protocols are residual-READ bound — sharing the forward (fused)
+        cut ops but not wall, because every backward re-reads the same
+        residuals.  One backward divides that traffic ~4x.  Strongest
+        deviation from the reference (single Adam moment state, loss
+        weights instead of per-loss lrs, one wd application) — opt-in,
+        quality-gated in PARITY_FUSED.md.
+        """
+        cfg = self.cfg
+        keys = jax.random.split(rng, 9)
+        params, stats, opt, sched = (state.params, state.batch_stats,
+                                     state.opt, state.sched)
+
+        spec_in = spec + jax.random.normal(keys[0], spec.shape) * \
+            state.hparams["spec_noise"]
+        z_real = jax.random.normal(keys[1], (cfg.batch_size, cfg.nstyle))
+        z_sample = jax.random.normal(keys[2], (spec.shape[0], cfg.nstyle))
+
+        def enc_fwd(p, es, x, k):
+            return self._fwd(self.encoder, p, es, x, train=True,
+                             rngs={"dropout": k})
+
+        def dec_fwd(p, ds, z, k):
+            return self._fwd(self.decoder, p, ds, z, train=True,
+                             rngs={"dropout": k})
+
+        def dis_fwd(p, dstats, x, beta, k):
+            return self._fwd(self.discriminator, p, dstats, x, beta,
+                             train=True,
+                             rngs={"dropout": k,
+                                   "noise": jax.random.fold_in(k, 7)})
+
+        # reference lr ratios -> loss weights (reconstruction anchors)
+        r = cfg.lr_ratio_Reconn
+        w_dis = cfg.lr_ratio_dis / r
+        w_corr = cfg.lr_ratio_Corr / r
+        w_mi = cfg.lr_ratio_Mutual / r
+        w_sm = cfg.lr_ratio_Smooth / r
+        sm_on = (epoch < cfg.epoch_stop_smooth).astype(jnp.float32)
+
+        def total_loss(p):
+            styles, enc_s1 = enc_fwd(p["enc"], stats["enc"], spec_in,
+                                     keys[3])
+            spec_out, dec_s1 = dec_fwd(p["dec"], stats["dec"], styles,
+                                       keys[4])
+            if cfg.use_cnn_discriminator:
+                rp, ds1 = dis_fwd(p["dis"], stats["dis"], z_real, alpha,
+                                  keys[5])
+                fp, dis_s = dis_fwd(p["dis"], ds1, styles, alpha, keys[6])
+                adv_l = nll_loss(rp, jnp.ones(rp.shape[0], jnp.int32)) + \
+                    nll_loss(fp, jnp.zeros(fp.shape[0], jnp.int32))
+            else:
+                both = jnp.concatenate(
+                    [z_real.astype(styles.dtype), styles], axis=0)
+                pred, dis_s = dis_fwd(p["dis"], stats["dis"], both, alpha,
+                                      keys[5])
+                rp1 = pred[: cfg.batch_size].squeeze(-1)
+                fp1 = pred[cfg.batch_size:].squeeze(-1)
+                adv_l = bce_with_logits(rp1, jnp.ones_like(rp1)) + \
+                    bce_with_logits(fp1, jnp.zeros_like(fp1))
+            corr_l = kendall_constraint(aux, styles[:, : cfg.n_aux],
+                                        activate=cfg.kendall_activation)
+            rec_l = recon_loss(spec_in, spec_out,
+                               scale=cfg.use_flex_spec_target,
+                               scale_weight=cfg.flex_scale_weight)
+            sm_l = smoothness_loss(spec_out, GAU_KERNEL_SIZE)
+            spec_gen, dec_s2 = dec_fwd(p["dec"], dec_s1, z_sample, keys[8])
+            z_recon, enc_s2 = enc_fwd(p["enc"], enc_s1, spec_gen,
+                                      jax.random.fold_in(keys[8], 1))
+            mi_l = mse(z_recon, z_sample)
+            total = (w_dis * adv_l + w_corr * corr_l + rec_l + w_mi * mi_l
+                     + sm_on * w_sm * sm_l)
+            new_stats = {"enc": enc_s2, "dec": dec_s2, "dis": dis_s}
+            losses = {"dis": adv_l, "gen": jnp.float32(0.0), "aux": corr_l,
+                      "recon": rec_l, "smooth": sm_on * sm_l, "mi": mi_l}
+            return total, (new_stats, losses)
+
+        (_, (new_stats, batch_losses)), grads = jax.value_and_grad(
+            total_loss, has_aux=True)(params)
+        new_params, new_opt_j = self.opts["joint"].update(
+            grads, opt["joint"], params, sched["joint"].lr)
+        new_state = state._replace(params=new_params, batch_stats=new_stats,
+                                   opt={**opt, "joint": new_opt_j})
+        return new_state, batch_losses
+
+    # ------------------------------------------------------------------ #
     # validation + metrics (reference trainer.py:206-304)
     # ------------------------------------------------------------------ #
 
@@ -499,6 +870,19 @@ class RankAAETrainer:
         aux_v = kendall_constraint(data.val_aux, z[:, : cfg.n_aux],
                                    activate=cfg.kendall_activation)
         smooth_v = smoothness_loss(spec_out, GAU_KERNEL_SIZE)
+
+        # amplitude-drift observability (net-new): the flex objective leaves
+        # output gain nearly unconstrained (reference functions.py:99-105),
+        # so per-epoch gain trajectories are the primary diagnostic for the
+        # shared drift instability (PARITY_RESULTS_CONV.md).  ``gain`` is the
+        # median output/target amplitude ratio on the val split;
+        # ``clamp_frac`` is the fraction of val samples whose ratio sits
+        # outside the flex clamp window [0.7, 1.3] (clamp-entry indicator).
+        ratio = jnp.abs(jnp.mean(spec_out.astype(jnp.float32), axis=1)) / \
+            jnp.abs(jnp.mean(data.val_spec, axis=1))
+        gain_v = jnp.median(ratio)
+        clamp_frac_v = jnp.mean(((ratio < 0.7) | (ratio > 1.3))
+                                .astype(jnp.float32))
 
         z_sample = jnp.asarray(
             jax.random.normal(k1, (self.n_val, cfg.nstyle)), jnp.float32
@@ -542,7 +926,8 @@ class RankAAETrainer:
                 gen_v = bce_with_logits(fp1, jnp.ones_like(fp1))
 
         return z, {"recon": recon_v, "aux": aux_v, "smooth": smooth_v,
-                   "mi": mi_v, "dis": dis_v, "gen": gen_v}
+                   "mi": mi_v, "dis": dis_v, "gen": gen_v,
+                   "gain": gain_v, "clamp_frac": clamp_frac_v}
 
     # ------------------------------------------------------------------ #
     # full run
@@ -646,7 +1031,7 @@ class RankAAETrainer:
             name: plateau_update(
                 state.sched[name],
                 val_losses["recon"]
-                if (name == "reconstruction"
+                if (name in ("reconstruction", "joint")
                     and cfg.sch_recon_metric == "val_recon")
                 else combined,
                 cfg.sch_factor, cfg.sch_patience)
@@ -662,9 +1047,11 @@ class RankAAETrainer:
             "val_dis": val_losses["dis"], "val_gen": val_losses["gen"],
             "val_aux": val_losses["aux"], "val_recon": val_losses["recon"],
             "val_smooth": val_losses["smooth"], "val_mi": val_losses["mi"],
+            "val_gain": val_losses["gain"],
+            "val_clamp_frac": val_losses["clamp_frac"],
             "metrics": metrics,
             "combined": combined,
-            "lr_recon": sched["reconstruction"].lr,
+            "lr_recon": sched.get("reconstruction", sched.get("joint")).lr,
         }
         return state, log
 

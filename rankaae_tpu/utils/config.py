@@ -186,6 +186,46 @@ class TrainConfig:
     # on FC/qved forms (their activations are already tiny).
     remat: bool = False
 
+    # net-new: run each optimizer's update arithmetic over ONE raveled
+    # parameter vector instead of per-leaf
+    # (optim.optimizers.flat_optimizer) — numerically identical
+    # (all steps are elementwise; concatenation changes no values), and it
+    # collapses the ~10-ops-x-150-leaf-updates per batch into ~10 vector
+    # ops per optimizer (-23% executed ops/epoch measured on chip).  Wall
+    # however measured slightly WORSE at flagship shapes (1.70 s vs the
+    # 1.62 s faithful baseline, PERF_NOTES_r05.md): the program is
+    # residual-byte bound, not op-issue bound, and the ravel/unravel
+    # copies add HBM traffic.  Kept as an off-by-default knob for shapes
+    # where op-issue dominates.  Mid-run ``trial_state.mpk`` checkpoints
+    # are structure-incompatible across this knob (moment states become
+    # single vectors); saved model bundles are unaffected.
+    flat_optim: bool = False
+
+    # net-new: per-batch optimization protocol.
+    # "faithful" (default) = the reference's sequential 5-pass protocol:
+    # every loss re-encodes from scratch and steps its optimizer before the
+    # next loss runs (reference sc/clustering/trainer.py:103-204) — ~11
+    # forward/backward graph executions per batch, measured HBM/op-floor
+    # bound at ~31% of the tile-padded roofline (PERF_NOTES_r04.md).
+    # "fused" = one shared forward computes ALL losses; each optimizer's
+    # gradient is taken at the SAME base parameters via per-loss VJP
+    # pullbacks restricted to its reference parameter subset, and all
+    # updates are applied jointly (Jacobi-style parallel update instead of
+    # the reference's Gauss-Seidel sweep).  Cuts the per-batch pass count
+    # ~2x and removes the reference's dead stats-only forwards; BatchNorm
+    # running stats update once per module per batch instead of ~6 times.
+    # Semantics deviate from the reference (documented, opt-in) — quality
+    # is gated head-to-head in PARITY_FUSED.md.
+    # "joint" = the classic multi-task formulation: ONE weighted-sum
+    # objective (weights = the reference's per-loss lr ratios, normalized
+    # to the reconstruction ratio), ONE optimizer over all parameters, one
+    # backward per batch — the GRL supplies the adversarial sign-flip
+    # inside the single backward, exactly what it exists for.  Round-5
+    # measurement showed the 5-backward protocols are residual-read bound
+    # (fused's shared forward was a wall wash), so one backward is the
+    # byte lever.  Requires gradient_reversal; quality-gated like fused.
+    protocol: str = "faithful"
+
     # Unroll factor for the per-epoch batch scan (net-new, experimental).
     # lax.scan ``unroll`` merges iterations into one loop body, letting XLA
     # overlap independent op chains ACROSS batch steps — e.g. batch k's
@@ -274,6 +314,18 @@ class TrainConfig:
             raise ValueError(
                 f"sch_recon_metric {self.sch_recon_metric!r} not in "
                 "('combined', 'val_recon')"
+            )
+        if self.protocol not in ("faithful", "fused", "joint"):
+            raise ValueError(
+                f"protocol {self.protocol!r} not in "
+                "('faithful', 'fused', 'joint')"
+            )
+        if self.protocol == "joint" and not self.gradient_reversal:
+            raise ValueError(
+                "protocol 'joint' requires gradient_reversal: the single "
+                "backward realizes the adversarial minimax through the GRL "
+                "(the non-GRL two-step GAN cannot be summed into one "
+                "objective)"
             )
 
     def replace(self, **kw) -> "TrainConfig":

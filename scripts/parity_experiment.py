@@ -80,6 +80,10 @@ def _experiment_config(epochs, ae_form="FC", precision=None, rng_impl=None,
         extra["sch_recon_metric"] = sch_recon_metric
     if ae_form != "FC":
         extra["ae_form"] = ae_form
+    if ae_form == "qved":
+        # the q-vector family is 12-dimensional (reference model.py:301,480)
+        extra["dim_in"] = 12
+        extra["dim_out"] = 12
     if precision is not None:
         # rankaae_tpu-only key; stripped before handing the config to the
         # torch reference (which has no such knob — it always computes f32)
@@ -191,7 +195,8 @@ def _final_stats(encode, decode, val_spec, val_aux, train_spec=None):
     }
 
 
-def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
+def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False,
+                  val_spec=None):
     """Train one reference seed; optionally track the true-best checkpoint.
 
     The reference's own best-checkpoint gate is dead (``best=10.0`` init with
@@ -229,7 +234,8 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
 
     ref_cfg = {k: v for k, v in cfg_dict.items()
                if k not in ("matmul_precision", "rng_impl", "activation_dtype",
-                            "sch_recon_metric", "flex_scale_weight")}
+                            "sch_recon_metric", "flex_scale_weight",
+                            "protocol")}
     t0 = time.time()
     if ref_cfg.get("ae_form", "FC") == "FC":
         trainer = RefTrainer.from_data(
@@ -249,11 +255,22 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
         p = RefParameters(ref_cfg)
         dl_train, dl_val, _ = get_dataloaders(
             csv_path, p.batch_size, (0.7, 0.15, 0.15), n_aux=p.n_aux)
-        encoder = AE_CLS_DICT[p.ae_form]["encoder"](
-            nstyle=p.nstyle, dropout_rate=p.dropout_rate)
-        decoder = AE_CLS_DICT[p.ae_form]["decoder"](
-            nstyle=p.nstyle, dropout_rate=p.dropout_rate,
-            last_layer_activation=p.decoder_activation)
+        if p.ae_form == "qved":
+            # Qvec constructors accept dim_in/dim_out but not n_layers
+            # (model.py:301,480), so the factory breaks for them too
+            encoder = AE_CLS_DICT[p.ae_form]["encoder"](
+                nstyle=p.nstyle, dropout_rate=p.dropout_rate,
+                dim_in=p.dim_in)
+            decoder = AE_CLS_DICT[p.ae_form]["decoder"](
+                nstyle=p.nstyle, dropout_rate=p.dropout_rate,
+                last_layer_activation=p.decoder_activation,
+                dim_out=p.dim_out)
+        else:
+            encoder = AE_CLS_DICT[p.ae_form]["encoder"](
+                nstyle=p.nstyle, dropout_rate=p.dropout_rate)
+            decoder = AE_CLS_DICT[p.ae_form]["decoder"](
+                nstyle=p.nstyle, dropout_rate=p.dropout_rate,
+                last_layer_activation=p.decoder_activation)
         from sc.clustering.model import DiscriminatorFC
 
         discriminator = DiscriminatorFC(
@@ -268,6 +285,12 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
     recon_trace = []
     lr_trace = []
     metrics_trace = []  # full per-epoch 5-vector [shapiro_min, recon, MI, coupling, aux]
+    gain_trace = []  # per-epoch median val output/target amplitude ratio
+    val_spec_t = None
+    val_mean_abs = None
+    if val_spec is not None:
+        val_spec_t = torch.tensor(np.asarray(val_spec, dtype=np.float32))
+        val_mean_abs = np.abs(np.asarray(val_spec).mean(axis=1))
     callback = None
     if track_best:
         import copy
@@ -279,6 +302,16 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
             metrics_trace.append([float(x) for x in metrics])
             lr_trace.append(float(
                 trainer.optimizers["reconstruction"].param_groups[0]["lr"]))
+            if val_spec_t is not None:
+                # amplitude-gain trajectory: callback fires right after the
+                # reference's validation block (trainer.py:207-209,306), so
+                # encoder/decoder are ALREADY in eval mode — a no-grad
+                # forward here consumes no RNG and perturbs nothing
+                with torch.no_grad():
+                    out = trainer.decoder(
+                        trainer.encoder(val_spec_t)).numpy()
+                ratio = np.abs(out.mean(axis=1)) / val_mean_abs
+                gain_trace.append(float(np.median(ratio)))
             combined = float(-(weights * np.array(metrics)).sum())
             if combined < best["combined"]:
                 best["combined"] = combined
@@ -290,6 +323,7 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
     best["recon_trace"] = recon_trace
     best["lr_trace"] = lr_trace
     best["metrics_trace"] = metrics_trace
+    best["gain_trace"] = gain_trace
     wall = time.time() - t0
 
     enc, dec = trainer.encoder, trainer.decoder
@@ -318,7 +352,7 @@ def run_reference(workdir, cfg_dict, csv_path, seed=0, track_best=False):
         best_pair = _pair(enc_b, dec_b)
     return metrics, wall, encode, decode, best_pair, best["epoch"], \
         best.get("recon_trace", []), best.get("lr_trace", []), \
-        best.get("metrics_trace", [])
+        best.get("metrics_trace", []), best.get("gain_trace", [])
 
 
 def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1,
@@ -388,7 +422,8 @@ def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1,
     # the val_*/train_* series are ours-only diagnostics
     trace_keys = ("metrics", "val_gen", "val_dis", "val_smooth", "val_mi",
                   "val_aux", "train_recon", "train_gen", "train_dis",
-                  "train_aux", "train_smooth", "train_mi")
+                  "train_aux", "train_smooth", "train_mi",
+                  "val_gain", "val_clamp_frac")
     component_traces = {k: np.asarray(logs[k]) for k in trace_keys}
     from rankaae_tpu.models.recalibrate import recalibrate_batch_stats
 
@@ -421,6 +456,16 @@ def run_ours(workdir, cfg_dict, csv_path, platform=None, n_seeds=1,
 def _fmt_spread(vals, fmt="{:.5f}"):
     lo, med, hi = np.min(vals), np.median(vals), np.max(vals)
     return f"{fmt.format(med)} [{fmt.format(lo)}, {fmt.format(hi)}]"
+
+
+def _median_ci(vals, n_boot=20000, seed=0, alpha=0.05):
+    """Bootstrap CI of the median (percentile method)."""
+    vals = np.asarray(vals, float)
+    r = np.random.default_rng(seed)
+    meds = np.median(
+        vals[r.integers(0, len(vals), size=(n_boot, len(vals)))], axis=1)
+    return (float(np.percentile(meds, 100 * alpha / 2)),
+            float(np.percentile(meds, 100 * (1 - alpha / 2))))
 
 
 def _stats_table(ref_stats, ours_stats):
@@ -599,16 +644,23 @@ def _aggregate(args, json):
     our_floor = [s["val_recon_min"] for s in ours["seeds"]
                  if "val_recon_min" in s]
     if ref_floor and our_floor:
+        r_lo, r_hi = _median_ci(ref_floor)
+        o_lo, o_hi = _median_ci(our_floor)
+        overlap = (o_lo <= r_hi) and (r_lo <= o_hi)
         lines += [
             "## Reconstruction floor (min val recon MSE over the run)",
             "",
-            f"| reference (n={len(ref_floor)}) | rankaae_tpu "
+            f"| | reference (n={len(ref_floor)}) | rankaae_tpu "
             f"(n={len(our_floor)}) |",
-            "|---|---|",
-            f"| {_fmt_spread(ref_floor)} | {_fmt_spread(our_floor)} |",
+            "|---|---|---|",
+            f"| median [min, max] | {_fmt_spread(ref_floor)} "
+            f"| {_fmt_spread(our_floor)} |",
+            f"| median 95% bootstrap CI | [{r_lo:.5f}, {r_hi:.5f}] "
+            f"| [{o_lo:.5f}, {o_hi:.5f}] |",
             "",
             f"Median floor ratio (ours/reference): "
-            f"**{np.median(our_floor)/np.median(ref_floor):.2f}x**.  The "
+            f"**{np.median(our_floor)/np.median(ref_floor):.2f}x**; the "
+            f"median CIs {'OVERLAP' if overlap else 'do NOT overlap'}.  The "
             "min-val-recon model is what `use_best_checkpoint: true` "
             "deploys (`best_recon.mpk`).",
             "",
@@ -667,7 +719,7 @@ def main():
     ap.add_argument("--out", default="PARITY_RESULTS.md",
                     help="output markdown filename (repo-root relative)")
     ap.add_argument("--ae-form", default="FC",
-                    choices=["FC", "normal", "compact"])
+                    choices=["FC", "normal", "compact", "qved"])
     ap.add_argument("--precision", default=None,
                     choices=[None, "highest", "default"],
                     help="ours-only matmul precision (torch is always f32)")
@@ -707,8 +759,11 @@ def main():
 
     workdir = os.path.join("/tmp", "parity_experiment")
     os.makedirs(workdir, exist_ok=True)
-    csv_path = os.path.join(workdir, "parity_data.csv")
-    make_synthetic_xanes_csv(csv_path, n_rows=args.rows, dim=256, seed=42)
+    # qved consumes 12-dim q-vectors, not 256-point spectra; same generator,
+    # same descriptor->feature causal structure, 12-point grid
+    data_dim = 12 if args.ae_form == "qved" else 256
+    csv_path = os.path.join(workdir, f"parity_data_{data_dim}.csv")
+    make_synthetic_xanes_csv(csv_path, n_rows=args.rows, dim=data_dim, seed=42)
     cfg_dict = _experiment_config(args.epochs, ae_form=args.ae_form,
                                   precision=args.precision, rng_impl=args.rng,
                                   act_dtype=args.act_dtype,
@@ -750,8 +805,9 @@ def main():
         seed = args.ref_seed
         print(f"reference: training seed {seed} (torch CPU, best-tracked) ...")
         (_, wall, enc_r, dec_r, best_pair, best_epoch, recon_trace, lr_trace,
-         metrics_trace) = run_reference(workdir, cfg_dict, csv_path, seed=seed,
-                                        track_best=True)
+         metrics_trace, gain_trace) = run_reference(
+            workdir, cfg_dict, csv_path, seed=seed, track_best=True,
+            val_spec=val_spec)
         rec = {
             "seed": seed, "wall": wall, "epochs": args.epochs,
             "rows": args.rows, "overrides": args.overrides,
@@ -775,6 +831,10 @@ def main():
             # (trainer.py:294): [shapiro_min, recon, avg_MI, coupling, aux]
             rec["metrics_trace"] = [[round(float(x), 6) for x in row]
                                     for row in metrics_trace]
+        if gain_trace:
+            # per-epoch median val amplitude gain (output/target), for the
+            # cross-stack drift-onset comparison
+            rec["gain_trace"] = [round(float(x), 6) for x in gain_trace]
         out = os.path.join(args.json_dir, f"ref_seed_{seed}.json")
         with open(out, "w") as f:
             json.dump(rec, f, indent=1)
@@ -823,6 +883,9 @@ def main():
             rec["seeds"][s_idx]["component_traces"] = {
                 k: [round(float(x), 6) for x in comp_traces[k][s_idx]]
                 for k in comp_traces if k != "metrics"}
+            # same key name as the torch-side JSONs for drift-onset analysis
+            rec["seeds"][s_idx]["gain_trace"] = [
+                round(float(x), 6) for x in comp_traces["val_gain"][s_idx]]
         out = os.path.join(args.json_dir, "ours.json")
         with open(out, "w") as f:
             json.dump(rec, f, indent=1)
@@ -849,7 +912,7 @@ def main():
     ref_stats, ref_walls = [], []
     for seed in range(args.ref_seeds):
         print(f"reference: training seed {seed} (torch CPU) ...")
-        _, ref_wall, enc_r, dec_r, _, _, _, _, _ = run_reference(
+        _, ref_wall, enc_r, dec_r, _, _, _, _, _, _ = run_reference(
             workdir, cfg_dict, csv_path, seed=seed)
         ref_walls.append(ref_wall)
         ref_stats.append(_final_stats(enc_r, dec_r, val_spec, val_aux))
