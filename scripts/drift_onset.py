@@ -8,8 +8,11 @@ the rankaae_tpu stack, or is onset an RNG lottery whose within-stack spread
 swamps the between-stack difference?
 
 For every seed with a gain trace:
-* ``onset``  — first epoch where |gain-1| > threshold (default 3%) holds
-  for ``sustain`` consecutive epochs (None if never);
+* ``lock``   — first epoch where |gain-1| <= threshold (default 3%) holds
+  10 consecutive epochs (amplitude converged from random init);
+* ``onset``  — first POST-LOCK epoch where |gain-1| > threshold holds
+  for ``sustain`` consecutive epochs (None if never; never-locked seeds
+  count as onset 0 — drifting from the start);
 * ``final_bias``, ``floor`` (min val recon), ``floor_epoch``;
 * ``floor_pre_onset`` — whether the reconstruction floor was reached
   before the drift onset (an uncontaminated floor).
@@ -32,25 +35,41 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def onset_epoch(gain, threshold=0.03, sustain=20):
-    """First epoch where |gain-1| > threshold for ``sustain`` consecutive
-    epochs (clipped at the trace tail); None if never."""
-    g = np.abs(np.asarray(gain, float) - 1.0) > threshold
-    n = len(g)
+def _first_run(mask, sustain):
+    """Start of the first run of ``sustain`` consecutive True (tail-clipped);
+    None if no such run."""
+    n = len(mask)
     run = 0
     for e in range(n):
-        run = run + 1 if g[e] else 0
+        run = run + 1 if mask[e] else 0
         need = min(sustain, n - (e - run + 1))
-        if run >= need and g[e]:
+        if run >= need and mask[e]:
             return e - run + 1
     return None
 
 
+def lock_and_onset(gain, threshold=0.03, sustain=20, lock_sustain=10):
+    """(lock, onset): ``lock`` = first epoch |gain-1| <= threshold holds
+    ``lock_sustain`` consecutive epochs (amplitude converged); ``onset`` =
+    first post-lock epoch where |gain-1| > threshold holds ``sustain``
+    consecutive epochs (the drift walk).  A raw exceedance-from-epoch-0
+    threshold would conflate initial convergence with late drift — random
+    init puts every seed outside the band at epoch 0."""
+    dev = np.abs(np.asarray(gain, float) - 1.0)
+    lock = _first_run(dev <= threshold, lock_sustain)
+    if lock is None:
+        return None, 0  # never amplitude-converged: drifting from the start
+    over = dev > threshold
+    over[:lock] = False
+    return lock, _first_run(over, sustain)
+
+
 def seed_row(gain, recon, threshold, sustain):
-    onset = onset_epoch(gain, threshold, sustain)
+    lock, onset = lock_and_onset(gain, threshold, sustain)
     recon = np.asarray(recon, float)
     floor_epoch = int(np.argmin(recon))
     return {
+        "lock": lock,
         "onset": onset,
         "final_bias": float(gain[-1] - 1.0),
         "floor": float(recon.min()),
@@ -78,13 +97,27 @@ def main():
                          "print to stdout")
     args = ap.parse_args()
 
-    refs = []
+    refs, refs_notrace = [], []
     for f in sorted(glob.glob(os.path.join(args.json_dir, "ref_seed_*.json"))):
         d = json.load(open(f))
         if "gain_trace" in d and "val_recon_trace" in d:
             refs.append((d["seed"], seed_row(d["gain_trace"],
                                              d["val_recon_trace"],
                                              args.threshold, args.sustain)))
+        elif "val_recon_min" in d and "amp_gain_train" in d.get("final", {}):
+            # No per-epoch gain trace (pre-instrumentation run): classify the
+            # basin from the FINAL amplitude bias.  Valid because the traced
+            # seeds show zero post-lock drift walks on either stack — a seed
+            # ends out-of-band iff it never locked.
+            bias = d["final"]["amp_gain_train"] - 1.0
+            refs_notrace.append((d["seed"], {
+                "lock": None if abs(bias) > args.threshold else -1,
+                "onset": 0 if abs(bias) > args.threshold else None,
+                "final_bias": float(bias),
+                "floor": float(d["val_recon_min"]),
+                "floor_epoch": int(d.get("val_recon_min_epoch", -1)),
+                "floor_pre_onset": abs(bias) <= args.threshold,
+            }))
     ours = []
     ours_fn = os.path.join(args.json_dir, "ours.json")
     if os.path.exists(ours_fn):
@@ -98,65 +131,103 @@ def main():
     lines = [
         f"# Drift-onset analysis: {args.json_dir}",
         "",
-        f"Onset = first epoch where |gain-1| > {args.threshold:.0%} holds "
-        f"{args.sustain} consecutive epochs (gain = median val "
-        "output/target amplitude ratio, recorded per epoch on both stacks).",
+        f"Lock = first epoch |gain-1| <= {args.threshold:.0%} holds 10 "
+        "consecutive epochs (amplitude converged from random init); onset = "
+        f"first post-lock epoch where |gain-1| > {args.threshold:.0%} holds "
+        f"{args.sustain} consecutive epochs (the drift walk; never-locked "
+        "seeds count as onset 0).  gain = median val output/target "
+        "amplitude ratio, recorded per epoch on both stacks.",
         "",
-        "| stack | seed | onset | final bias | floor | floor epoch | "
+        "| stack | seed | lock | onset | final bias | floor | floor epoch | "
         "floor pre-onset |",
-        "|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for label, rows in (("torch", refs), ("ours", ours)):
         for sd, r in rows:
+            lock = "never" if r["lock"] is None else r["lock"]
             lines.append(
-                f"| {label} | {sd} | {r['onset']} | {r['final_bias']:+.3f} "
+                f"| {label} | {sd} | {lock} | {r['onset']} "
+                f"| {r['final_bias']:+.3f} "
                 f"| {r['floor']:.5f} | {r['floor_epoch']} "
                 f"| {'yes' if r['floor_pre_onset'] else 'NO'} |")
 
     def stats_block(refs, ours):
-        out = []
-        r_on = [r["onset"] for _, r in refs if r["onset"] is not None]
-        o_on = [r["onset"] for _, r in ours if r["onset"] is not None]
-        out += [
-            "",
-            f"Drift incidence (onset fired): torch {len(r_on)}/{len(refs)}, "
-            f"ours {len(o_on)}/{len(ours)}.",
-        ]
+        out = [""]
+        r_nl = [r for _, r in refs if r["lock"] is None]
+        o_nl = [r for _, r in ours if r["lock"] is None]
+        r_walk = [r for _, r in refs
+                  if r["lock"] is not None and r["onset"] is not None]
+        o_walk = [r for _, r in ours
+                  if r["lock"] is not None and r["onset"] is not None]
+        out.append(
+            f"Never-locked (drift basin decided at init): torch "
+            f"{len(r_nl)}/{len(refs)}, ours {len(o_nl)}/{len(ours)}.  "
+            f"Post-lock drift walks: torch {len(r_walk)}, ours "
+            f"{len(o_walk)}.")
         if len(refs) and len(ours):
             try:
                 from scipy.stats import fisher_exact
 
                 _, p = fisher_exact(
-                    [[len(r_on), len(refs) - len(r_on)],
-                     [len(o_on), len(ours) - len(o_on)]])
-                out.append(f"Fisher exact p (incidence) = {p:.3f}.")
+                    [[len(r_nl), len(refs) - len(r_nl)],
+                     [len(o_nl), len(ours) - len(o_nl)]])
+                out.append(
+                    f"Fisher exact p (never-lock incidence) = {p:.3f}.")
             except Exception:
                 pass
-        if len(r_on) >= 2 and len(o_on) >= 2:
+        r_lk = [r["lock"] for _, r in refs
+                if r["lock"] is not None and r["lock"] >= 0]
+        o_lk = [r["lock"] for _, r in ours
+                if r["lock"] is not None and r["lock"] >= 0]
+        if len(r_lk) >= 2 and len(o_lk) >= 2:
             from scipy.stats import mannwhitneyu
 
-            u = mannwhitneyu(r_on, o_on, alternative="two-sided")
-            out += [
-                f"Onset epochs: torch median {np.median(r_on):.0f} "
-                f"(spread {min(r_on)}-{max(r_on)}), ours median "
-                f"{np.median(o_on):.0f} (spread {min(o_on)}-{max(o_on)}); "
-                f"Mann-Whitney p = {u.pvalue:.3f}.",
-            ]
-        r_fl = [r["floor"] for _, r in refs]
-        o_fl = [r["floor"] for _, r in ours]
-        if len(r_fl) >= 3 and len(o_fl) >= 3:
-            r_ci, o_ci = _median_ci(r_fl), _median_ci(o_fl)
-            overlap = (o_ci[0] <= r_ci[1]) and (r_ci[0] <= o_ci[1])
-            out += [
-                f"Floor medians: torch {np.median(r_fl):.5f} "
-                f"(95% CI [{r_ci[0]:.5f}, {r_ci[1]:.5f}]), ours "
-                f"{np.median(o_fl):.5f} (95% CI [{o_ci[0]:.5f}, "
-                f"{o_ci[1]:.5f}]) — CIs "
-                f"{'OVERLAP' if overlap else 'do NOT overlap'}.",
-            ]
+            u = mannwhitneyu(r_lk, o_lk, alternative="two-sided")
+            out.append(
+                f"Lock epochs (amplitude-convergence speed, locked seeds "
+                f"only): torch median {np.median(r_lk):.0f} (spread "
+                f"{min(r_lk)}-{max(r_lk)}, n={len(r_lk)}), ours median "
+                f"{np.median(o_lk):.0f} (spread {min(o_lk)}-{max(o_lk)}, "
+                f"n={len(o_lk)}); Mann-Whitney p = {u.pvalue:.3f}.")
+
+        def floor_line(label, rsel, osel):
+            r_fl = [r["floor"] for _, r in refs if rsel(r)]
+            o_fl = [r["floor"] for _, r in ours if osel(r)]
+            if not r_fl or not o_fl:
+                return None
+            line = (f"{label}: torch {np.median(r_fl):.5f} (n={len(r_fl)})"
+                    f", ours {np.median(o_fl):.5f} (n={len(o_fl)})")
+            if len(r_fl) >= 3 and len(o_fl) >= 3:
+                r_ci, o_ci = _median_ci(r_fl), _median_ci(o_fl)
+                overlap = (o_ci[0] <= r_ci[1]) and (r_ci[0] <= o_ci[1])
+                line += (f"; 95% CIs [{r_ci[0]:.5f}, {r_ci[1]:.5f}] vs "
+                         f"[{o_ci[0]:.5f}, {o_ci[1]:.5f}] — "
+                         f"{'OVERLAP' if overlap else 'NO overlap'}")
+            return line + "."
+        for ln in (
+            floor_line("Floor medians (all seeds)",
+                       lambda r: True, lambda r: True),
+            floor_line("Floor medians (locked seeds only)",
+                       lambda r: r["lock"] is not None,
+                       lambda r: r["lock"] is not None),
+            floor_line("Floor medians (never-locked seeds)",
+                       lambda r: r["lock"] is None,
+                       lambda r: r["lock"] is None),
+        ):
+            if ln:
+                out.append(ln)
         return out
 
     lines += stats_block(refs, ours)
+    if refs_notrace:
+        lines += [
+            "",
+            f"## Full-n basin statistics ({len(refs_notrace)} additional "
+            "torch seeds without gain traces, basin classified by final "
+            "amplitude bias — valid because the traced seeds show zero "
+            "post-lock drift walks on either stack)",
+        ]
+        lines += stats_block(refs + refs_notrace, ours)
     text = "\n".join(lines) + "\n"
     if args.out:
         path = os.path.join(REPO, args.out)
