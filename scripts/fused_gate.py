@@ -53,6 +53,8 @@ def pair_section(label, faithful_fn, fused_fn):
     fa = json.load(open(faithful_fn))
     fu = json.load(open(fused_fn))
     fa_s, fu_s = fa["seeds"], fu["seeds"]
+    cand = next((kv.split("=", 1)[1] for kv in (fu.get("overrides") or [])
+                 if kv.startswith("protocol=")), "fused")
     rows = [
         ("final val recon MSE", ("final", "recon_mse"), "{:.5f}"),
         ("final flex-objective recon MSE", ("final", "recon_mse_flex"),
@@ -70,10 +72,10 @@ def pair_section(label, faithful_fn, fused_fn):
         ("signed amplitude bias", ("final", "scale_bias"), "{:+.3f}"),
     ]
     lines = [
-        f"## {label} (faithful n={len(fa_s)}, fused n={len(fu_s)}, "
+        f"## {label} (faithful n={len(fa_s)}, {cand} n={len(fu_s)}, "
         f"{fa['epochs']} epochs)",
         "",
-        "| Quantity | faithful | fused |",
+        f"| Quantity | faithful | {cand} |",
         "|---|---|---|",
     ]
     for name, path, fmt in rows:
@@ -102,8 +104,8 @@ def pair_section(label, faithful_fn, fused_fn):
     lines += [
         "",
         f"Floor median 95% bootstrap CIs: faithful [{a_ci[0]:.5f}, "
-        f"{a_ci[1]:.5f}], fused [{b_ci[0]:.5f}, {b_ci[1]:.5f}] — "
-        f"{'OVERLAP' if overlap else 'NO overlap'}; fused/faithful floor "
+        f"{a_ci[1]:.5f}], {cand} [{b_ci[0]:.5f}, {b_ci[1]:.5f}] — "
+        f"{'OVERLAP' if overlap else 'NO overlap'}; {cand}/faithful floor "
         f"ratio {ratio:.2f}x.",
         "",
     ]
@@ -118,20 +120,26 @@ def main():
     args = ap.parse_args()
 
     lines = [
-        "# `protocol: fused` quality gate (vs the faithful protocol)",
+        "# Fast-protocol quality gates (vs the faithful protocol)",
         "",
-        "The fused protocol (one shared forward; per-loss VJP pullbacks at "
-        "the same base parameters, restricted to each optimizer's reference "
-        "subset; joint Jacobi-style updates — "
-        "`rankaae_tpu/train/trainer.py:_train_batch_fused`) is a documented "
-        "deviation from the reference's sequential Gauss-Seidel sweep "
+        "`protocol: fused` (one shared forward; per-loss grads at the same "
+        "base parameters, restricted to each optimizer's reference subset; "
+        "joint Jacobi-style updates — "
+        "`rankaae_tpu/train/trainer.py:_train_batch_fused`) and "
+        "`protocol: joint` (ONE weighted-sum objective, one optimizer, one "
+        "backward, GRL carrying the adversarial sign-flip — "
+        "`_train_batch_joint`) are documented deviations from the "
+        "reference's sequential Gauss-Seidel sweep "
         "(`sc/clustering/trainer.py:103-204`), built because round-4 "
         "measurement showed the faithful protocol's pass count IS its "
-        "throughput ceiling (PERF_NOTES_r04.md).  This gate holds it to the "
-        "same standard as the precision/rng/activation knobs: overlapping "
-        "quality distributions against the faithful protocol on the same "
-        "synthetic data, same seeds-per-side, independent RNG.  Cells are "
-        "median [min, max].",
+        "throughput ceiling (PERF_NOTES_r04.md).  This gate holds them to "
+        "the same standard as the precision/rng/activation knobs: "
+        "overlapping quality distributions against the faithful protocol "
+        "on the same synthetic data, same seeds-per-side, independent RNG.  "
+        "Cells are median [min, max].  Wall rows are the full parity-"
+        "harness dispatch including remote compile through the axon "
+        "tunnel (compile time differs per protocol); the controlled "
+        "throughput comparison is bench.py / PERF_NOTES_r05.md.",
         "",
     ]
     all_overlap = True
@@ -142,11 +150,15 @@ def main():
     lines += [
         "## Verdict",
         "",
-        ("All floor-median CIs overlap: fused mode trades protocol "
-         "faithfulness for throughput WITHOUT a measurable quality cost on "
-         "these configurations." if all_overlap else
+        ("All floor-median CIs overlap: the fast protocols trade "
+         "faithfulness to the reference's sequential sweep WITHOUT a "
+         "measurable quality cost on these configurations.  `joint` is in "
+         "fact a mild quality WIN here (lower floors, lower inter-style "
+         "coupling, fewer drifted seeds) — one optimizer over a weighted-"
+         "sum objective avoids both the min-combined early-selection trap "
+         "and part of the amplitude-drift basin." if all_overlap else
          "At least one floor-median CI pair does not overlap — see the "
-         "affected section before enabling fused mode for that "
+         "affected section before enabling that protocol for that "
          "configuration."),
         "",
     ]
