@@ -115,7 +115,19 @@ def _roofline(compiled, wall, epochs, n_train, cfg, grl, smooth, trials,
 
     # non-binding context models (see docstring)
     op_model_s = (counts["entry_ops"] + epochs * ops_per_epoch) * 10e-6
+    extra = {}
+    if protocol != "faithful":
+        # the cross-protocol yardstick: percent of the FAITHFUL workload's
+        # tile-padded speed-of-light (the fast protocols do less padded
+        # work per sample, so their self-relative roofline_pct is not
+        # comparable to the faithful 30.7%)
+        faithful_bound_s = (_analytic_padded_flops_per_sample(
+            cfg, grl, smooth, protocol="faithful")
+            * trials * n_train * epochs / V5E_MEASURED_BF16)
+        extra["pct_of_faithful_protocol_sol"] = round(
+            100.0 * faithful_bound_s / wall, 1)
     return {
+        **extra,
         "ops_per_epoch": ops_per_epoch,
         "padded_mflop_per_sample": round(padded_fps / 1e6, 3),
         "mxu_padded_bound_s": round(mxu_padded_bound_s, 4),
@@ -177,7 +189,8 @@ def _analytic_flops_per_sample(params, n_trials, grl: bool, smooth: bool,
 def bench(form: str, trials: int, epochs: int, n_rows: int,
           precision: str = None, rng_impl: str = "rbg",
           act_dtype: str = "float32", remat: bool = False,
-          scan_unroll: int = 1, protocol: str = "faithful"):
+          scan_unroll: int = 1, protocol: str = "faithful",
+          emit: str = "stdout", extra: dict | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -313,7 +326,11 @@ def bench(form: str, trials: int, epochs: int, n_rows: int,
         f"median final val recon MSE: {np.median(final_recon):.5f}",
         file=sys.stderr,
     )
-    print(json.dumps(result))
+    if extra:
+        result.update(extra)
+    print(json.dumps(result),
+          file=sys.stderr if emit == "stderr" else sys.stdout)
+    return result
 
 
 def main():
@@ -351,9 +368,13 @@ def main():
     # high resident-trial counts on the deep "normal" form
     ap.add_argument("--remat", action="store_true")
     # per-batch optimization protocol: "faithful" = the reference's
-    # sequential 5-pass sweep; "fused" = one shared forward + joint updates
-    # (net-new fast path, quality-gated in PARITY_FUSED.md)
-    ap.add_argument("--protocol", default="faithful",
+    # sequential 5-pass sweep; "fused" = one shared forward + joint updates;
+    # "joint" = one weighted-sum objective, one backward (net-new fast
+    # paths, quality-gated in PARITY_FUSED.md).  Default (flag omitted, FC
+    # form): bench BOTH faithful (the stdout headline, apples-to-apples
+    # with the torch baseline protocol) and joint (second JSON line on
+    # stderr + joint_* fields in the headline line).
+    ap.add_argument("--protocol", default=None,
                     choices=["faithful", "fused", "joint"])
     # lax.scan unroll over the per-epoch batch loop (numerics-neutral;
     # lets XLA overlap independent chains across batch steps)
@@ -361,9 +382,23 @@ def main():
     args = ap.parse_args()
     trials = args.trials if args.trials is not None else (
         32 if args.form == "FC" else 8)
-    bench(args.form, trials, args.epochs, args.rows,
-          precision=args.precision, rng_impl=args.rng, act_dtype=args.act,
-          remat=args.remat, scan_unroll=args.unroll, protocol=args.protocol)
+    kw = dict(precision=args.precision, rng_impl=args.rng,
+              act_dtype=args.act, remat=args.remat, scan_unroll=args.unroll)
+    if args.protocol is None and args.form == "FC":
+        joint = bench(args.form, trials, args.epochs, args.rows,
+                      protocol="joint", emit="stderr", **kw)
+        bench(args.form, trials, args.epochs, args.rows,
+              protocol="faithful",
+              extra={"joint_value": joint["value"],
+                     "joint_vs_baseline": joint["vs_baseline"],
+                     "joint_pct_of_faithful_sol":
+                         joint.get("pct_of_faithful_protocol_sol"),
+                     "joint_note": "opt-in `protocol: joint` fast path, "
+                                   "quality-gated in PARITY_FUSED.md"},
+              **kw)
+    else:
+        bench(args.form, trials, args.epochs, args.rows,
+              protocol=args.protocol or "faithful", **kw)
 
 
 if __name__ == "__main__":
