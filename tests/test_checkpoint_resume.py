@@ -23,6 +23,7 @@ def small_data():
     )
 
 
+@pytest.mark.slow
 def test_segmented_run_matches_plain_run(small_data, tmp_path):
     cfg = _tiny_cfg(max_epoch=6)
     plain = run_trials(cfg, small_data, n_trials=2, seed=5)
@@ -261,6 +262,7 @@ def test_v2_state_roundtrip_and_mismatch_detection(tmp_path):
         load_train_state(str(bad), template)
 
 
+@pytest.mark.slow
 def test_incremental_losses_csv(small_data, tmp_path):
     """Segmented CLI runs append losses.csv rows per segment; the final file
     matches what a one-shot write produces."""

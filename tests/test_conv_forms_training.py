@@ -25,7 +25,9 @@ def conv_data():
     )
 
 
-@pytest.mark.parametrize("ae_form", ["normal", "compact"])
+@pytest.mark.parametrize(
+    "ae_form",
+    [pytest.param("normal", marks=pytest.mark.slow), "compact"])
 def test_conv_form_trains(conv_data, ae_form):
     cfg = _tiny_cfg(ae_form=ae_form, dim_in=256, dim_out=256, max_epoch=2,
                     batch_size=32, epoch_stop_smooth=2)

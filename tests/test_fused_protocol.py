@@ -42,6 +42,7 @@ def _run(cfg, data):
     return trainer, state, jax.tree_util.tree_map(np.asarray, logs)
 
 
+@pytest.mark.slow
 def test_fused_trains_and_improves(fused_data):
     cfg = _tiny_cfg(max_epoch=30, protocol="fused",
                     use_flex_spec_target=True, kendall_activation=True)
@@ -125,6 +126,7 @@ def test_fused_other_forms(ae_form, dim):
     assert np.all(np.isfinite(logs["val_recon"]))
 
 
+@pytest.mark.slow
 def test_joint_trains_and_improves(fused_data):
     """``protocol: joint`` — one weighted-sum objective, ONE optimizer over
     all params, GRL carries the adversarial sign-flip inside the single
@@ -160,6 +162,7 @@ def test_joint_smoothness_cutoff(fused_data):
     assert np.all(sm[:3] > 0.0)
 
 
+@pytest.mark.slow
 def test_fused_vmaps_over_trials(fused_data):
     """The fused program must vmap over the trial axis (the production
     multi-trial strategy) with per-trial independent trajectories."""

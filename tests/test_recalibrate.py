@@ -41,7 +41,9 @@ def test_ema_inversion_exact():
     del variables, n
 
 
-@pytest.mark.parametrize("ae_form", ["compact", "FC"])
+@pytest.mark.parametrize(
+    "ae_form",
+    [pytest.param("compact", marks=pytest.mark.slow), "FC"])
 def test_recalibrated_eval_matches_trainmode(conv_data, ae_form):  # noqa: F811
     """The defining property: after recalibration, an eval-mode forward on the
     recalibration set equals the train-mode forward (dropout off) — every BN
@@ -102,6 +104,7 @@ def test_recalibrated_eval_matches_trainmode(conv_data, ae_form):  # noqa: F811
                                    rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_amplitude_gain_calibration(conv_data):  # noqa: F811
     """amplitude_gain measures the median output/target amplitude ratio and
     an InferenceModel built with that gain decodes at median ratio 1 —

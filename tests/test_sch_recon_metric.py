@@ -53,7 +53,9 @@ def _replay_lr(metric_seq, lr0, factor, patience):
     return np.array(out)
 
 
-@pytest.mark.parametrize("knob", ["combined", "val_recon"])
+@pytest.mark.parametrize(
+    "knob",
+    [pytest.param("combined", marks=pytest.mark.slow), "val_recon"])
 def test_recon_lr_follows_configured_metric(knob):
     cfg = _tiny_cfg(sch_recon_metric=knob)
     logs = _run(cfg)

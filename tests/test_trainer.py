@@ -203,6 +203,7 @@ def test_determinism_same_seed(tiny_data):
     np.testing.assert_array_equal(l1["combined"], l2["combined"])
 
 
+@pytest.mark.slow
 def test_different_seeds_differ(tiny_data):
     cfg = _tiny_cfg(max_epoch=4)
     _, _, l1 = _run(cfg, tiny_data, seed=1)
@@ -210,6 +211,7 @@ def test_different_seeds_differ(tiny_data):
     assert not np.array_equal(l1["val_recon"], l2["val_recon"])
 
 
+@pytest.mark.slow
 def test_batch_stats_evolve(tiny_data):
     cfg = _tiny_cfg(max_epoch=2)
     trainer = RankAAETrainer(cfg, 192, 64)

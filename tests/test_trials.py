@@ -58,6 +58,7 @@ def test_lr_sweep_over_trial_axis(tiny_data):
                    n_trials=4, lr_scales=np.ones(4))
 
 
+@pytest.mark.slow
 def test_scan_unroll_same_trajectory_contract(tiny_data):
     """scan_unroll runs the same math on the same data but lets XLA fuse
     across batch steps, which reorders float ops (exactly like vmap does —
@@ -99,6 +100,7 @@ def test_remat_tpu_resident_cap():
     _check_scan_unroll(_tiny_cfg(), "tpu")
 
 
+@pytest.mark.slow
 def test_adabound_plain_run_trials(tiny_data):
     """Regression (ADVICE r03 high): plain AdaBound with lr_scales=None must
     train — the init_state guard sees a TRACED all-ones scales array under

@@ -36,6 +36,7 @@ def _tree_leaves_with_path(tree, prefix=""):
         yield prefix, tree
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ae_form", ["compact", "normal"])
 def test_one_adamw_step_conv_autoencoder(rng, ae_form):
     from tests.conftest import import_reference_sc
