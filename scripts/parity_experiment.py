@@ -506,9 +506,12 @@ def _amp_table(ref_stats, ours_stats):
     via a 0.1-weighted penalty, so plain validation MSE conflates spectral-
     shape error with a coherent output gain drift the objective barely
     punishes.  This table separates them."""
+    # tolerate mixed-vintage per-seed JSONs: drop seeds recorded before the
+    # amp instrumentation landed (keeps the table at reduced n instead of
+    # dropping the whole block)
+    ref_stats = [s for s in ref_stats if all(k in s for k in _AMP_KEYS)]
+    ours_stats = [s for s in ours_stats if all(k in s for k in _AMP_KEYS)]
     if not ref_stats or not ours_stats:
-        return []
-    if not all(all(k in s for k in _AMP_KEYS) for s in ref_stats + ours_stats):
         return []
     o = lambda key: np.array([s[key] for s in ours_stats])
     r = lambda key: np.array([s[key] for s in ref_stats])
