@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Regenerate the `ae_form = normal` section of PARITY_RESULTS_CONV.md.
+
+Reruns the parity aggregator over artifacts/parity_conv_normal/ (torch
+per-seed JSONs + the amp-instrumented ours.json), computes the
+flex_scale_weight=0.3 mitigation row from artifacts/parity_conv_normal_fsw03/,
+and splices the result over everything from the `## ae_form = normal` header
+to EOF (the normal section is the file's last).  Rerun whenever a new torch
+ref_seed_*.json lands.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TARGET = os.path.join(REPO, "PARITY_RESULTS_CONV.md")
+NORMAL_DIR = os.path.join(REPO, "artifacts/parity_conv_normal")
+FSW03_DIR = os.path.join(REPO, "artifacts/parity_conv_normal_fsw03")
+AGG_TMP = "/tmp/normal_agg.md"
+
+
+def mitigation_stats(ours_path):
+    d = json.load(open(ours_path))
+    fin = [s["final"]["recon_mse"] for s in d["seeds"]]
+    bias = [s["final_recal"]["scale_bias"] for s in d["seeds"]]
+    cal = [s["final_recal"]["recon_mse_cal"] for s in d["seeds"]]
+    return {
+        "n": len(fin),
+        "median": float(np.median(fin)),
+        "worst": float(max(fin)),
+        "cal": float(np.median(cal)),
+        "drifted": int(sum(abs(b) > 0.03 for b in bias)),
+        "worst_bias": float(max(bias, key=abs)),
+    }
+
+
+def main():
+    import glob
+
+    n_ref = len(glob.glob(os.path.join(NORMAL_DIR, "ref_seed_*.json")))
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/parity_experiment.py"),
+         "--mode", "aggregate", "--ae-form", "normal",
+         "--json-dir", NORMAL_DIR, "--out", AGG_TMP,
+         "--epochs", "300", "--rows", "2000"],
+        check=True, cwd=REPO)
+    agg = open(AGG_TMP).read().splitlines()
+    # Drop the generated H1 + description paragraph; keep from the first H2 on.
+    first_h2 = next(i for i, l in enumerate(agg) if l.startswith("## "))
+    body = agg[first_h2:]
+
+    faith = mitigation_stats(os.path.join(NORMAL_DIR, "ours.json"))
+    fsw = mitigation_stats(os.path.join(FSW03_DIR, "ours.json"))
+    n_ours = faith["n"]
+
+    ours_all = json.load(open(os.path.join(NORMAL_DIR, "ours.json")))
+    our_fin = sorted(s["final"]["recon_mse"] for s in ours_all["seeds"])
+    refs = [json.load(open(f)) for f in sorted(
+        glob.glob(os.path.join(NORMAL_DIR, "ref_seed_*.json")))]
+    ref_fin = sorted(r["final"]["recon_mse"] for r in refs)
+    ref_drift = sum(f > 0.003 for f in ref_fin)  # visibly drifted finals
+
+    section = [
+        f"## ae_form = normal — faithful-config head-to-head "
+        f"(torch n={n_ref}, ours n={n_ours})",
+        "",
+        "Torch \"normal\" costs ~1-4 h/seed on this 1-core host, so n "
+        "accumulates slowly (`artifacts/parity_conv_normal/`; later seeds "
+        "are amp-instrumented — the amp/floor rows carry their subset ns). "
+        "Ours is the amp-instrumented rerun: one vmapped TPU program, "
+        "segmented dispatch.  The same shared flex-target drift "
+        "instability as compact governs the spread: torch finals "
+        f"[{ref_fin[0]:.5f}..{ref_fin[-1]:.5f}] "
+        f"({ref_drift}/{n_ref} visibly drifted), ours "
+        f"[{our_fin[0]:.5f}..{our_fin[-1]:.5f}] "
+        f"({faith['drifted']}/{n_ours} with |amp bias|>3%, mostly mild). "
+        "The floor row — what `use_best_checkpoint: true` deploys — "
+        "overlaps, and the fsw=0.3 knob is MEASURED on this form below "
+        "(not asserted).",
+        "",
+        *body,
+        "",
+        f"## Normal-form mitigation: `flex_scale_weight: 0.3` "
+        f"(ours n={fsw['n']}, 300 epochs, measured)",
+        "",
+        "Same data/config, `artifacts/parity_conv_normal_fsw03/`:",
+        "",
+        "| Config | median final recon | worst | amp-calibrated median "
+        "| drifted (\\|bias\\|>3%) | worst bias |",
+        "|---|---|---|---|---|---|",
+        f"| faithful (fsw=0.1) | {faith['median']:.5f} | {faith['worst']:.5f} "
+        f"| {faith['cal']:.5f} | {faith['drifted']}/{faith['n']} "
+        f"| {faith['worst_bias']:+.3f} |",
+        f"| `flex_scale_weight: 0.3` | **{fsw['median']:.5f}** "
+        f"| **{fsw['worst']:.5f}** | {fsw['cal']:.5f} "
+        f"| {fsw['drifted']}/{fsw['n']} (mild) | {fsw['worst_bias']:+.3f} |",
+        "",
+        "The knob behaves exactly as on compact: it contains both the "
+        "median and the worst case by strengthening the scale penalty the "
+        "flex objective under-weights, at the faithful default it is off.",
+        "",
+    ]
+
+    text = open(TARGET).read().splitlines()
+    start = next(i for i, l in enumerate(text)
+                 if l.startswith("## ae_form = normal"))
+    out = text[:start] + section
+    with open(TARGET, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"regenerated normal section: torch n={n_ref}, ours n={n_ours}")
+
+
+if __name__ == "__main__":
+    main()
