@@ -109,7 +109,7 @@ def pair_section(label, faithful_fn, fused_fn):
         f"ratio {ratio:.2f}x.",
         "",
     ]
-    return lines, overlap
+    return lines, overlap, ratio
 
 
 def main():
@@ -143,25 +143,44 @@ def main():
         "",
     ]
     all_overlap = True
+    ratios = []
     for label, fa, fu in args.pair:
-        sec, overlap = pair_section(label, fa, fu)
+        sec, overlap, ratio = pair_section(label, fa, fu)
         lines += sec
         all_overlap &= overlap
+        ratios.append((label, ratio, overlap))
     lines += [
         "## Verdict",
         "",
-        ("All floor-median CIs overlap: the fast protocols trade "
-         "faithfulness to the reference's sequential sweep WITHOUT a "
-         "measurable quality cost on these configurations.  `joint` is in "
-         "fact a mild quality WIN here (lower floors, lower inter-style "
-         "coupling, fewer drifted seeds) — one optimizer over a weighted-"
-         "sum objective avoids both the min-combined early-selection trap "
-         "and part of the amplitude-drift basin." if all_overlap else
-         "At least one floor-median CI pair does not overlap — see the "
+        ("All floor-median CIs overlap"
+         if all_overlap else
+         "At least one floor-median CI pair does NOT overlap — see the "
          "affected section before enabling that protocol for that "
-         "configuration."),
+         "configuration")
+        + ": floor ratios ({}).".format(
+            ", ".join(f"{l} {r:.2f}x" for l, r, _ in ratios)),
+        "",
+        "On the conv/FC forms both fast protocols pass the gate (CIs "
+        "overlap), and `joint` is a mild quality WIN there (floor ratios "
+        "<= 0.91x, lower inter-style coupling, fewer drifted seeds) — one "
+        "optimizer over a weighted-sum objective avoids both the "
+        "min-combined early-selection trap and part of the "
+        "amplitude-drift basin."
+        if all(r <= 1.05 for l, r, _ in ratios
+               if "joint" in l and not l.startswith("qved"))
+        else "",
+        "",
+        ("The qved pair is the exception: `joint` floors are WORSE "
+         "(ratio {:.2f}x; the CI overlap is marginal) with more drifted "
+         "seeds, and the wall saving is negligible on 12-dim MLPs — keep "
+         "`protocol: faithful` (the default) for qved.".format(
+             next(r for l, r, _ in ratios if l.startswith("qved")))
+         if any(l.startswith("qved") and r > 1.25 for l, r, _ in ratios)
+         else ""),
         "",
     ]
+    lines = [l for i, l in enumerate(lines)
+             if l != "" or (i + 1 < len(lines) and lines[i + 1] != "") or i + 1 == len(lines)]
     path = os.path.join(REPO, args.out)
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -13,4 +13,7 @@ PAIRS=(
 if [ -f artifacts/parity_fused/normal300_joint/ours.json ]; then
   PAIRS+=(--pair normal-300-joint artifacts/parity_conv_normal/ours.json artifacts/parity_fused/normal300_joint/ours.json)
 fi
+if [ -f artifacts/parity_fused/qved300_joint/ours.json ]; then
+  PAIRS+=(--pair qved-300-joint artifacts/parity_qved/ours.json artifacts/parity_fused/qved300_joint/ours.json)
+fi
 python scripts/fused_gate.py "${PAIRS[@]}" --out PARITY_FUSED.md
