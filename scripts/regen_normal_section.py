@@ -24,9 +24,13 @@ AGG_TMP = "/tmp/normal_agg.md"
 
 def mitigation_stats(ours_path):
     d = json.load(open(ours_path))
+    # All columns from the "final" (pre-recalibration) evaluation: the
+    # drift column describes the trained model's own amplitude bias, and
+    # recon_mse_cal is the one-scalar-calibrated MSE — same convention as
+    # the aggregator's amp table.
     fin = [s["final"]["recon_mse"] for s in d["seeds"]]
-    bias = [s["final_recal"]["scale_bias"] for s in d["seeds"]]
-    cal = [s["final_recal"]["recon_mse_cal"] for s in d["seeds"]]
+    bias = [s["final"]["scale_bias"] for s in d["seeds"]]
+    cal = [s["final"]["recon_mse_cal"] for s in d["seeds"]]
     return {
         "n": len(fin),
         "median": float(np.median(fin)),
